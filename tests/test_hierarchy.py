@@ -1,0 +1,111 @@
+"""Hierarchy math: scalar API, vectorized matrices, golden-file parity."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from semantic_embeddings_tpu.hierarchy import (
+    ClassHierarchy,
+    pairwise_matrices,
+    semantic_distance_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def cifar_hierarchy(reference_dir):
+    return ClassHierarchy.from_file(
+        os.path.join(reference_dir, "Cifar-Hierarchy", "cifar.parent-child.txt"),
+        id_type=int,
+    )
+
+
+def test_basic_structure(cifar_hierarchy):
+    h = cifar_hierarchy
+    assert h.is_tree()
+    assert h.max_height == 8
+    leaves = h.leaves()
+    assert len(leaves) == 100
+    assert all(h.heights[leaf] == 0 for leaf in leaves)
+
+
+def test_scalar_identities(cifar_hierarchy):
+    h = cifar_hierarchy
+    leaves = sorted(h.leaves())
+    for a in leaves[:5]:
+        assert h.lcs(a, a) == a
+        assert h.lcs_height(a, a) == 0.0
+        assert h.wup_similarity(a, a) == 1.0
+        assert h.shortest_path_length(a, a) == 0
+    # symmetry
+    a, b = leaves[3], leaves[77]
+    assert h.lcs_height(a, b) == h.lcs_height(b, a)
+    assert h.wup_similarity(a, b) == h.wup_similarity(b, a)
+
+
+def test_matrix_matches_scalar(cifar_hierarchy):
+    h = cifar_hierarchy
+    leaves = sorted(h.leaves())[:25]
+    mats = pairwise_matrices(h, leaves)
+    for i, a in enumerate(leaves):
+        for j, b in enumerate(leaves):
+            assert mats["lcs_height"][i, j] == pytest.approx(h.lcs_height(a, b))
+            assert mats["wup"][i, j] == pytest.approx(h.wup_similarity(a, b))
+
+
+def test_dag_multi_parent():
+    # Diamond: root -> {a, b} -> c ; plus leaf d under a.
+    parents = {"a": ["r"], "b": ["r"], "c": ["a", "b"], "d": ["a"]}
+    children = {"r": ["a", "b"], "a": ["c", "d"], "b": ["c"]}
+    h = ClassHierarchy(parents, children)
+    assert not h.is_tree()
+    assert h.max_height == 2
+    # LCS(c, d) = a (depth 2), not the root.
+    assert h.lcs("c", "d") == "a"
+    assert h.lcs_height("c", "d") == pytest.approx(h.heights["a"] / 2)
+    mats = pairwise_matrices(h, ["c", "d"])
+    assert mats["lcs_height"][0, 1] == pytest.approx(h.lcs_height("c", "d"))
+    assert mats["wup"][0, 1] == pytest.approx(h.wup_similarity("c", "d"))
+
+
+def test_is_a_parsing(tmp_path):
+    p = tmp_path / "rel.txt"
+    p.write_text("1 0\n2 0\n3 1\n")
+    h = ClassHierarchy.from_file(str(p), is_a_relations=True, id_type=int)
+    assert h.parents[1] == [0]
+    assert h.parents[3] == [1]
+    assert sorted(h.leaves()) == [2, 3]
+    # round-trip through save()
+    out = tmp_path / "saved.txt"
+    h.save(str(out), is_a_relations=True)
+    h2 = ClassHierarchy.from_file(str(out), is_a_relations=True, id_type=int)
+    assert h2.parents == h.parents
+
+
+def test_semantic_distance_matrix_symmetry(cifar_hierarchy):
+    leaves = sorted(cifar_hierarchy.leaves())
+    dist = semantic_distance_matrix(cifar_hierarchy, leaves)
+    assert np.allclose(dist, dist.T)
+    assert np.all(dist.diagonal() == 0)
+    assert dist.max() <= 1.0
+
+
+def test_cub_wikispecies_golden(reference_dir):
+    h = ClassHierarchy.from_file(
+        os.path.join(
+            reference_dir, "CUB-Hierarchy", "cub_wikispecies.parent-child.txt"
+        ),
+        id_type=int,
+    )
+    gold_path = os.path.join(
+        reference_dir, "embeddings", "cub_wikispecies.unitsphere.pickle"
+    )
+    with open(gold_path, "rb") as f:
+        gold = pickle.load(f)
+    labels = gold["ind2label"]
+    dist = semantic_distance_matrix(h, labels)
+    ge = gold["embedding"]
+    # The golden unit-sphere embedding reproduces 1 - dist exactly,
+    # confirming our pairwise LCS-height matrix on string-id trees.
+    assert np.abs(ge @ ge.T - (1.0 - dist)).max() < 1e-6
