@@ -1,0 +1,119 @@
+"""CIFAR-style SmallResNet (He et al. §4.2 variant with padded shortcuts).
+
+Structural parity with ``/root/reference/models/cifar_resnet.py:69-257``:
+3 stages of ``n`` two-conv blocks, identity shortcuts widened by average
+pooling + zero channel padding (or 1x1 conv when ``conv_shortcut``), global
+average pooling, and an optional top Dense named ``embedding``/``prob``.
+The zero channel padding is a plain ``jnp.pad`` that XLA fuses into the
+residual add — no custom layer needed on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    KerasBatchNorm,
+    activation_fn,
+    avg_pool,
+    channel_pad,
+    conv,
+    dense,
+    global_avg_pool,
+    global_max_pool,
+)
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs with a parameter-free (or 1x1-conv) shortcut."""
+
+    in_features: int
+    out_features: int
+    stride: int = 1
+    activation: str = "relu"
+    conv_shortcut: bool = False
+    use_bn: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = activation_fn(self.activation)
+        y = conv(self.out_features, 3, self.stride, name="conv_a", dtype=self.dtype)(x)
+        if self.use_bn:
+            y = KerasBatchNorm(dtype=self.dtype, name="bn_a")(y, train)
+        y = act(y)
+        y = conv(self.out_features, 3, name="conv_b", dtype=self.dtype)(y)
+        if self.use_bn:
+            y = KerasBatchNorm(dtype=self.dtype, name="bn_b")(y, train)
+
+        shortcut = x
+        if self.in_features != self.out_features and self.conv_shortcut:
+            shortcut = conv(
+                self.out_features, 1, self.stride, name="conv_sc", dtype=self.dtype
+            )(shortcut)
+            if self.use_bn:
+                shortcut = KerasBatchNorm(dtype=self.dtype, name="bn_sc")(
+                    shortcut, train
+                )
+        else:
+            if self.stride > 1:
+                shortcut = avg_pool(shortcut, self.stride)
+            if self.in_features < self.out_features:
+                diff = self.out_features - self.in_features
+                shortcut = channel_pad(shortcut, diff // 2, diff - diff // 2)
+        return act(y + shortcut)
+
+
+class SmallResNet(nn.Module):
+    n: int = 9
+    filters: Sequence[int] = (16, 32, 64)
+    classes: int = 100
+    include_top: bool = True
+    top_activation: str | None = "softmax"
+    activation: str = "relu"
+    conv_shortcut: bool = False
+    use_bn: bool = True
+    pooling: str = "avg"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = activation_fn(self.activation)
+        x = conv(self.filters[0], 3, name="conv0", dtype=self.dtype)(x)
+        if self.use_bn:
+            x = KerasBatchNorm(dtype=self.dtype, name="bn0")(x, train)
+        x = act(x)
+
+        in_f = self.filters[0]
+        for stage, out_f in enumerate(self.filters):
+            stride = 1 if stage == 0 else 2
+            for block in range(self.n):
+                x = ResidualBlock(
+                    in_features=in_f if block == 0 else out_f,
+                    out_features=out_f,
+                    stride=stride if block == 0 else 1,
+                    activation=self.activation,
+                    conv_shortcut=self.conv_shortcut,
+                    use_bn=self.use_bn,
+                    dtype=self.dtype,
+                    name=f"stage{stage + 1}_block{block + 1}",
+                )(x, train)
+            in_f = out_f
+
+        if self.pooling == "avg":
+            x = global_avg_pool(x)
+        elif self.pooling == "max":
+            x = global_max_pool(x)
+        self.sow("intermediates", "avg_pool", x)
+
+        if self.include_top:
+            x = dense(self.classes, name="top", dtype=self.dtype)(x)
+            if self.top_activation == "softmax":
+                x = nn.softmax(x.astype(jnp.float32))
+                self.sow("intermediates", "prob", x)
+            else:
+                self.sow("intermediates", "embedding", x)
+        return x

@@ -1,0 +1,57 @@
+"""Output heads composing a backbone into a trainable model.
+
+Mirrors the model assembly in the reference trainer
+(``/root/reference/learn_image_embeddings.py:125-148``): an optional output
+transform (L2 normalization for the cosine loss, softmax for softmax_corr)
+and an optional classification head (relu -> BN -> Dense softmax ``prob``,
+``learn_image_embeddings.py:16-45``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import KerasBatchNorm, dense
+
+
+def l2norm(x, epsilon=1e-12):
+    """L2-normalizes along the last axis (``/root/reference/utils.py:125-127``,
+    TF semantics: ``x / sqrt(max(sum(x^2), eps))``)."""
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, epsilon))
+
+
+class EmbeddingModel(nn.Module):
+    """Backbone + output transform + optional softmax classification head.
+
+    Returns the transformed embedding, or ``(embedding, prob)`` when a
+    classification head is attached (``cls_classes > 0``).
+    """
+
+    backbone: nn.Module
+    output: str = "linear"  # 'linear' | 'l2norm' | 'softmax'
+    cls_classes: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        emb = self.backbone(x, train=train)
+        base = emb
+        if self.output == "l2norm":
+            emb = l2norm(emb.astype(jnp.float32))
+            self.sow("intermediates", "l2norm", emb)
+        elif self.output == "softmax":
+            emb = nn.softmax(emb.astype(jnp.float32))
+            self.sow("intermediates", "softmax", emb)
+
+        if self.cls_classes > 0:
+            y = nn.relu(base)
+            y = KerasBatchNorm(dtype=self.dtype, name="cls_bn")(y, train)
+            y = dense(self.cls_classes, name="cls_top", dtype=self.dtype)(y)
+            prob = nn.softmax(y.astype(jnp.float32))
+            self.sow("intermediates", "prob", prob)
+            return emb, prob
+        return emb

@@ -1,0 +1,19 @@
+"""Device-mesh construction and sharding specs."""
+
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    get_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "get_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate",
+]

@@ -1,0 +1,130 @@
+"""Keras-exact SGD with momentum, per-tensor norm clipping and time decay.
+
+The reference trains everything with ``keras.optimizers.SGD(lr, decay,
+momentum=0.9, nesterov, clipnorm=10)`` (``/root/reference/
+learn_image_embeddings.py:229-236``).  The exact update differs from both
+optax's and torch's SGD:
+
+- ``clipnorm`` clips every gradient *tensor* to norm 10 individually —
+  not the global norm (``optax.clip_by_global_norm`` is NOT equivalent).
+- velocity: ``v <- momentum * v - lr * g``; plain momentum applies ``p += v``,
+  Nesterov applies ``p += momentum * v_new - lr * g``.
+- ``decay`` is per-iteration inverse time decay on the base LR:
+  ``lr_t = lr / (1 + decay * iterations)`` — handled by the schedule driver
+  (:func:`effective_lr`), not inside the update, so warm-restart callbacks
+  compose the same way they do in Keras.
+
+Exposed both as plain functions (used by the jitted train step, where the
+learning rate is a traced scalar) and as an optax ``GradientTransformation``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def clip_by_per_tensor_norm(grads, clipnorm):
+    """Keras ``clipnorm``: clip each gradient tensor to the given L2 norm."""
+    if not clipnorm or clipnorm <= 0:
+        return grads
+
+    def clip(g):
+        norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        return g * (clipnorm / jnp.maximum(norm, clipnorm))
+
+    return jax.tree_util.tree_map(clip, grads)
+
+
+def init_velocity(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def sgd_update(params, velocity, grads, lr, momentum=0.9, nesterov=False,
+               clipnorm=0.0):
+    """One Keras-SGD step; returns ``(new_params, new_velocity)``."""
+    grads = clip_by_per_tensor_norm(grads, clipnorm)
+
+    def upd(p, v, g):
+        v_new = momentum * v - lr * g
+        if nesterov:
+            p_new = p + momentum * v_new - lr * g
+        else:
+            p_new = p + v_new
+        return p_new, v_new
+
+    flat = jax.tree_util.tree_map(upd, params, velocity, grads)
+    new_params = jax.tree_util.tree_map(
+        lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple)
+    )
+    new_velocity = jax.tree_util.tree_map(
+        lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple)
+    )
+    return new_params, new_velocity
+
+
+def effective_lr(base_lr, decay, iterations):
+    """Keras time-based decay: ``lr / (1 + decay * iterations)``."""
+    if decay and decay > 0:
+        return base_lr / (1.0 + decay * iterations)
+    return base_lr
+
+
+def decay_from_max_decay(max_decay, steps_per_epoch, epochs):
+    """Derives the per-iteration decay from the reference's ``--max_decay``
+    flag (``learn_image_embeddings.py:224-227``): the LR at the end of
+    training is ``max_decay`` times the initial one."""
+    if max_decay and max_decay > 0:
+        return (1.0 / max_decay - 1.0) / (steps_per_epoch * epochs)
+    return 0.0
+
+
+class KerasSGDState(NamedTuple):
+    velocity: optax.Updates
+
+
+def keras_sgd(momentum=0.9, nesterov=False, clipnorm=0.0):
+    """Keras-SGD as an optax ``GradientTransformation`` (LR applied by an
+    outer ``optax.scale_by_learning_rate`` or injected via the update's
+    ``lr``-scaled gradients is NOT equivalent — this transform expects
+    gradients pre-multiplied by the learning rate)."""
+
+    def init_fn(params):
+        return KerasSGDState(velocity=init_velocity(params))
+
+    def update_fn(lr_grads, state, params=None):
+        del params
+        clipped = lr_grads  # caller pre-scales by lr (see docstring)
+        v_new = jax.tree_util.tree_map(
+            lambda v, g: momentum * v - g, state.velocity, clipped
+        )
+        if nesterov:
+            updates = jax.tree_util.tree_map(
+                lambda v, g: momentum * v - g, v_new, clipped
+            )
+        else:
+            updates = v_new
+        return updates, KerasSGDState(velocity=v_new)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adagrad_update(params, accum, grads, lr, epsilon=1e-7):
+    """Keras Adagrad (used by DeViSE, ``learn_devise.py:87,114``):
+    ``a += g^2; p -= lr * g / (sqrt(a) + eps)``."""
+
+    def upd(p, a, g):
+        a_new = a + jnp.square(g)
+        return p - lr * g / (jnp.sqrt(a_new) + epsilon), a_new
+
+    flat = jax.tree_util.tree_map(upd, params, accum, grads)
+    new_p = jax.tree_util.tree_map(
+        lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple)
+    )
+    new_a = jax.tree_util.tree_map(
+        lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple)
+    )
+    return new_p, new_a

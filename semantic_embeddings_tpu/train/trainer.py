@@ -1,0 +1,342 @@
+"""The jitted training engine: step builders + the epoch-driving fit loop.
+
+TPU-first counterpart of the reference's ``model.compile`` +
+``fit_generator`` flow (``/root/reference/learn_image_embeddings.py:
+228-243``):
+
+- ONE jitted train step fuses on-device augmentation (provided by the
+  dataset as a ``prepare``-inside-jit function), the forward pass, the loss
+  (including Keras-style L2 kernel regularization), the backward pass and
+  the Keras-exact SGD update.  Nothing but a batch of indices / raw pixels
+  and a scalar learning rate crosses the host->device boundary per step.
+- The learning rate is a traced scalar argument, so epoch-level schedule
+  logic (SGDR restarts, plateau drops, CLR per-batch cycling) never causes
+  recompilation.
+- Under a multi-chip mesh the batch is sharded on the ``data`` axis and the
+  parameters replicated; XLA inserts the gradient all-reduce over ICI.
+  BatchNorm reductions see the global batch (sync-BN semantics).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import batch_sharding, replicated, shard_batch
+from . import losses as L
+from .optimizer import sgd_update
+from .state import TrainState
+
+EMB_LOSSES = {
+    "mse": L.squared_distance,
+    "inv_corr": L.inv_correlation,
+    "unnorm_corr": L.inv_correlation,
+    "softmax_corr": L.inv_correlation,
+}
+
+#: output transform the EmbeddingModel applies for each loss
+#: (learn_image_embeddings.py:127-130)
+LOSS_OUTPUT = {
+    "mse": "linear",
+    "inv_corr": "l2norm",
+    "unnorm_corr": "linear",
+    "softmax_corr": "softmax",
+}
+
+
+def _trainable_mask(params, trainable_fn):
+    """Pytree of {0,1} masks from a path-predicate."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for path, leaf in flat:
+        names = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        leaves.append(
+            jnp.ones_like(leaf) if trainable_fn(names) else jnp.zeros_like(leaf)
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_train_step(
+    model,
+    prepare: Callable,
+    *,
+    loss_name: str = "inv_corr",
+    class_embedding=None,
+    cls_weight: float = 0.0,
+    l2_penalty_fn: Callable | None = None,
+    momentum: float = 0.9,
+    nesterov: bool = False,
+    clipnorm: float = 10.0,
+    trainable_fn: Callable | None = None,
+    metric_fn: Callable | None = None,
+    mesh=None,
+    donate: bool = False,
+):
+    """Builds the jitted train step.
+
+    ``prepare(raw_batch, rng, train)`` runs *inside* jit and must return
+    ``(images, labels)``; ``class_embedding`` (n_classes, d) provides the
+    per-sample regression targets via an on-device gather (the reference's
+    host-side ``transform_inputs``, ``learn_image_embeddings.py:48-50``).
+    """
+    emb_loss = EMB_LOSSES[loss_name]
+    class_embedding = (
+        None
+        if class_embedding is None
+        else jnp.asarray(class_embedding, dtype=jnp.float32)
+    )
+    num_classes = None if class_embedding is None else class_embedding.shape[0]
+
+    def step(state: TrainState, raw_batch, lr, rng):
+        images, labels = prepare(raw_batch, rng, True)
+        targets = class_embedding[labels]
+        onehot = (
+            jax.nn.one_hot(labels, num_classes) if cls_weight > 0 else None
+        )
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            metrics = {}
+            if cls_weight > 0:
+                emb_out, prob = out
+                cls_l = L.categorical_crossentropy(onehot, prob).mean()
+                metrics["cls_loss"] = cls_l
+                metrics["cls_acc"] = (
+                    (jnp.argmax(prob, -1) == labels).astype(jnp.float32).mean()
+                )
+            else:
+                emb_out, prob, cls_l = out, None, 0.0
+            e_l = emb_loss(targets, emb_out).mean()
+            total = e_l + cls_weight * cls_l
+            if l2_penalty_fn is not None:
+                total = total + l2_penalty_fn(params)
+            metrics["emb_loss"] = e_l
+            metrics["loss"] = total
+            if metric_fn is not None:
+                metrics["emb_acc"] = metric_fn(targets, emb_out).mean()
+            return total, (mut["batch_stats"], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if trainable_fn is not None:
+            mask = _trainable_mask(state.params, trainable_fn)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        new_params, new_vel = sgd_update(
+            state.params,
+            state.velocity,
+            grads,
+            lr,
+            momentum=momentum,
+            nesterov=nesterov,
+            clipnorm=clipnorm,
+        )
+        new_state = state.replace(
+            params=new_params,
+            velocity=new_vel,
+            batch_stats=new_bs,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, data, None, None)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(
+    model,
+    prepare: Callable,
+    *,
+    loss_name: str = "inv_corr",
+    class_embedding=None,
+    cls_weight: float = 0.0,
+    metric_fn: Callable | None = None,
+    mesh=None,
+):
+    """Validation step: running BN stats, no update; returns summed metrics
+    and the batch size so ragged final batches average correctly."""
+    emb_loss = EMB_LOSSES[loss_name]
+    class_embedding = (
+        None
+        if class_embedding is None
+        else jnp.asarray(class_embedding, dtype=jnp.float32)
+    )
+    num_classes = None if class_embedding is None else class_embedding.shape[0]
+
+    def step(state: TrainState, raw_batch, rng):
+        images, labels = prepare(raw_batch, rng, False)
+        targets = class_embedding[labels]
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        metrics = {}
+        if cls_weight > 0:
+            emb_out, prob = out
+            onehot = jax.nn.one_hot(labels, num_classes)
+            metrics["cls_loss"] = L.categorical_crossentropy(onehot, prob).sum()
+            metrics["cls_correct"] = (
+                (jnp.argmax(prob, -1) == labels).astype(jnp.float32).sum()
+            )
+            metrics["pred"] = jnp.argmax(prob, -1)
+        else:
+            emb_out = out
+        metrics["emb_loss"] = emb_loss(targets, emb_out).sum()
+        if metric_fn is not None:
+            metrics["emb_correct"] = metric_fn(targets, emb_out).sum()
+        metrics["count"] = jnp.asarray(images.shape[0], jnp.float32)
+        return metrics
+
+    kwargs = {}
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, data, None)
+    return jax.jit(step, **kwargs)
+
+
+def make_forward_fn(model, prepare=None, taps=False, mesh=None):
+    """Inference forward; with ``taps=True`` returns the intermediates tree
+    (named feature taps: avg_pool / embedding / l2norm / prob)."""
+
+    def forward(state_params, batch_stats, images):
+        variables = {"params": state_params, "batch_stats": batch_stats}
+        if taps:
+            out, inter = model.apply(
+                variables, images, train=False, mutable=["intermediates"]
+            )
+            return out, inter["intermediates"]
+        return model.apply(variables, images, train=False)
+
+    return jax.jit(forward)
+
+
+def run_validation(eval_step, state, batches, rng):
+    """Drives the eval step over an iterator of raw batches."""
+    totals = {}
+    preds = []
+    for raw in batches:
+        m = eval_step(state, raw, rng)
+        m = jax.device_get(m)
+        if "pred" in m:
+            preds.append(m.pop("pred"))
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    count = max(totals.pop("count", 1.0), 1.0)
+    out = {}
+    for k, v in totals.items():
+        if k.endswith("_correct"):
+            out[k.replace("_correct", "_acc")] = v / count
+        else:
+            out[k] = v / count
+    out["val_loss"] = out.get("emb_loss", 0.0)
+    if preds:
+        out["predictions"] = np.concatenate(preds)
+    return out
+
+
+def fit(
+    state: TrainState,
+    train_step,
+    eval_step,
+    dataset,
+    schedule,
+    *,
+    epochs: int,
+    batch_size: int,
+    val_batch_size: int | None = None,
+    initial_epoch: int = 0,
+    decay: float = 0.0,
+    seed: int = 0,
+    snapshot: str | None = None,
+    snapshot_best: str | None = None,
+    verbose: bool = True,
+    mesh=None,
+    log_fn=None,
+):
+    """Epoch loop with schedule driving, validation, and snapshotting.
+
+    ``dataset`` must provide ``train_batches(batch_size, epoch, seed)`` and
+    ``test_batches(batch_size)`` iterators of raw batches consumable by the
+    jitted steps, plus ``steps_per_epoch(batch_size)``.
+    """
+    from .optimizer import effective_lr
+    from .state import save_checkpoint
+
+    val_batch_size = val_batch_size or batch_size
+    best_metric = np.inf
+    base_key = jax.random.PRNGKey(seed)
+    steps_per_epoch = dataset.steps_per_epoch(batch_size)
+
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.time()
+        epoch_lr = schedule.lr(epoch, state.step)
+        running = {}
+        n_batches = 0
+        for raw in dataset.train_batches(batch_size, epoch, seed):
+            if schedule.per_batch:
+                lr = schedule.lr(epoch, state.step)
+            else:
+                lr = epoch_lr
+            lr = effective_lr(lr, decay, state.step)
+            rng = jax.random.fold_in(base_key, int(state.step))
+            if mesh is not None:
+                raw = shard_batch(mesh, raw)
+            state, metrics = train_step(state, raw, lr, rng)
+            n_batches += 1
+            if verbose and n_batches % 50 == 0:
+                metrics = jax.device_get(metrics)
+                running = {k: float(v) for k, v in metrics.items()}
+        train_metrics = {
+            k: float(v) for k, v in jax.device_get(metrics).items()
+        } if n_batches else {}
+
+        val_metrics = run_validation(
+            eval_step, state, dataset.test_batches(val_batch_size), base_key
+        )
+        val_metrics.pop("predictions", None)
+        schedule.observe(val_metrics)
+        state = state.replace(epoch=epoch + 1)
+
+        if snapshot:
+            monitored = val_metrics.get(snapshot_best or "val_loss", np.inf)
+            if snapshot_best:
+                if monitored < best_metric:
+                    best_metric = monitored
+                    save_checkpoint(snapshot, state, {"epoch": epoch + 1})
+            else:
+                save_checkpoint(snapshot, state, {"epoch": epoch + 1})
+
+        if verbose:
+            msg = " ".join(
+                f"{k}={v:.4f}" for k, v in {**train_metrics, **val_metrics}.items()
+            )
+            print(
+                f"epoch {epoch + 1}/{epochs} lr={epoch_lr:.5f} "
+                f"[{time.time() - t0:.1f}s {steps_per_epoch} steps] {msg}",
+                flush=True,
+            )
+        if log_fn is not None:
+            log_fn(epoch, {**train_metrics, **val_metrics, "lr": epoch_lr})
+
+    return state

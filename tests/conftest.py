@@ -7,12 +7,30 @@ TPU hardware (see SURVEY.md §4 point 3).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# pins jax_platforms; undo that so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover - older jax
+    pass
+
+# Persistent compilation cache: model-init compiles one tiny XLA program per
+# unique parameter shape (~150ms each here); caching makes re-runs instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import pytest
