@@ -1,0 +1,191 @@
+"""Shared CLI plumbing: argument groups, model assembly, feature dumps.
+
+Keeps every learner script's flag surface identical to its reference
+counterpart (flag names are part of the public API per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_data_generator
+from ..embeddings import save_features
+from ..models import ARCHITECTURES, EmbeddingModel, build_network
+from ..parallel import get_mesh
+from ..train import LOSS_OUTPUT, new_train_state
+from ..train.schedules import LR_SCHEDULES
+
+
+def add_lr_schedule_arguments(parser):
+    """Reference ``utils.add_lr_schedule_arguments`` (``utils.py:402-418``)."""
+    group = parser.add_argument_group("Parameters for --lr_schedule=SGD")
+    group.add_argument("--sgd_patience", type=int, default=None,
+                       help="Patience of learning rate reduction in epochs.")
+    group.add_argument("--sgd_lr", type=float, default=0.1,
+                       help="Initial learning rate.")
+    group.add_argument("--sgd_min_lr", type=float, default=None,
+                       help="Minimum learning rate.")
+    group.add_argument("--sgd_schedule", type=str, default=None,
+                       help="Comma-separated list of `epoch:lr` pairs, defining "
+                            "a learning rate schedule. The total number of "
+                            "epochs can be appended to this list, separated by "
+                            "a comma as well.")
+    group = parser.add_argument_group("Parameters for --lr_schedule=SGDR")
+    group.add_argument("--sgdr_base_len", type=int, default=None,
+                       help="Length of first cycle in epochs.")
+    group.add_argument("--sgdr_mul", type=int, default=None,
+                       help="Multiplier for cycle length after each cycle.")
+    group.add_argument("--sgdr_max_lr", type=float, default=None,
+                       help="Maximum learning rate.")
+    group = parser.add_argument_group("Parameters for --lr_schedule=CLR")
+    group.add_argument("--clr_step_len", type=int, default=None,
+                       help="Length of each step in epochs.")
+    group.add_argument("--clr_min_lr", type=float, default=None,
+                       help="Minimum learning rate.")
+    group.add_argument("--clr_max_lr", type=float, default=None,
+                       help="Maximum learning rate.")
+
+
+def add_common_train_arguments(group):
+    group.add_argument("--gpus", type=int, default=1,
+                       help="Number of devices (mesh size) to be used.")
+    group.add_argument("--read_workers", type=int, default=8,
+                       help="Number of parallel data pre-processing threads.")
+    group.add_argument("--queue_size", type=int, default=100,
+                       help="Maximum size of data queue.")
+    group.add_argument("--gpu_merge", action="store_true", default=False,
+                       help="Accepted for interface parity (gradient merge "
+                            "placement is handled by XLA collectives).")
+
+
+def schedule_args_from(args):
+    return {
+        name: value
+        for name, value in vars(args).items()
+        if value is not None
+    }
+
+
+def load_class_embedding(path_or_onehot):
+    """Loads an embedding pickle, or None for 'onehot'
+    (``learn_image_embeddings.py:104-117``)."""
+    if path_or_onehot == "onehot":
+        return None, None
+    with open(path_or_onehot, "rb") as f:
+        dump = pickle.load(f)
+    return dump["ind2label"], np.asarray(dump["embedding"], dtype=np.float32)
+
+
+def resolve_mesh(gpus):
+    """Maps the reference's --gpus flag onto the data-parallel mesh.  Uses
+    all visible devices when they divide evenly; 1 device otherwise."""
+    n = max(1, int(gpus))
+    avail = len(jax.devices())
+    if n > avail:
+        print(f"Requested {n} devices but only {avail} present; using {avail}.")
+        n = avail
+    return get_mesh(n) if n > 1 else None
+
+
+def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None):
+    """Backbone + output transform + optional cls head
+    (``learn_image_embeddings.py:125-148``)."""
+    spec = build_network(embed_dim, architecture, dtype=dtype)
+    model = EmbeddingModel(
+        backbone=spec.module,
+        output=LOSS_OUTPUT[loss],
+        cls_classes=cls_classes,
+        dtype=dtype,
+    )
+    return model, spec
+
+
+def init_model_state(model, input_size, channels, seed=0):
+    variables = jax.jit(
+        lambda k: model.init(
+            k, jnp.zeros((1, input_size, input_size, channels)), train=False
+        )
+    )(jax.random.PRNGKey(seed))
+    return new_train_state(variables)
+
+
+def extract_test_features(model, state, dataset, batch_size=100, pick=None):
+    """Predicts the model output for every test image, in dataset order.
+
+    Equivalent of ``par_model.predict_generator(flow_test(1, False))``
+    (``learn_image_embeddings.py:271``) as masked fixed-size batches.
+    """
+    prepare = dataset.make_prepare()
+
+    @jax.jit
+    def forward(state, raw):
+        images, _ = prepare(raw, jax.random.PRNGKey(0), False)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        return out
+
+    chunks = []
+    for raw in dataset.test_batches(batch_size):
+        out = forward(state, raw)
+        if pick is not None:
+            out = out[pick]
+        valid = np.asarray(raw["valid"]) > 0
+        chunks.append(np.asarray(out)[valid])
+    return np.concatenate(chunks)
+
+
+def dump_artifacts(args, state, model, dataset, cls_weight=0.0):
+    """--model_dump / --weight_dump / --feature_dump handling
+    (``learn_image_embeddings.py:257-275``)."""
+    from ..train.state import save_checkpoint, save_weights
+
+    if getattr(args, "weight_dump", None):
+        try:
+            save_weights(args.weight_dump, state.params)
+        except Exception as e:  # noqa: BLE001 - parity with reference
+            print(f"An error occurred while saving the model weights: {e}")
+    if getattr(args, "model_dump", None):
+        try:
+            save_checkpoint(
+                args.model_dump, state,
+                {"architecture": getattr(args, "architecture", None)},
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"An error occurred while saving the model: {e}")
+    if getattr(args, "feature_dump", None):
+        feats = extract_test_features(
+            model, state, dataset,
+            batch_size=getattr(args, "val_batch_size", 100) or 100,
+            pick=0 if cls_weight > 0 else None,
+        )
+        save_features(args.feature_dump, feats)
+
+
+class MetricsLogger:
+    """JSONL metrics log standing in for the reference's TensorBoard
+    ``--log_dir`` (``learn_image_embeddings.py:212-215``); the directory is
+    recreated like the reference wipes its log dir."""
+
+    def __init__(self, log_dir):
+        import shutil
+
+        if os.path.isdir(log_dir):
+            shutil.rmtree(log_dir, ignore_errors=True)
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+
+    def __call__(self, epoch, metrics):
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, **{
+                k: float(v) for k, v in metrics.items()
+            }}) + "\n")

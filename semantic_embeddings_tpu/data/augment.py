@@ -1,0 +1,184 @@
+"""On-device image augmentation (runs inside the jitted train step).
+
+The reference augments on the host with per-image Python/PIL work inside
+multiprocessing workers (``/root/reference/datasets/common.py:380-581``,
+Keras ``ImageDataGenerator`` for CIFAR).  Here augmentation is a pure
+``jnp`` function of (batch, PRNG key): XLA fuses it with the forward pass,
+the batch never leaves HBM, and the host only ships integer indices.
+
+Parity notes:
+- Affine shift/zoom uses the same continuous parameter ranges as Keras with
+  bilinear resampling and nearest (edge-clamp) fill, implemented as one
+  ``map_coordinates`` gather per image under ``vmap``.
+- Random erasing (Zhong et al.) matches ``datasets/common.py:530-540``: area
+  and aspect ratio sampled in the same ranges, filled with uniform noise in
+  normalized space.  The rejection-sampling loop is replaced by clamping the
+  patch to the image (statistically near-identical, shape-static for XLA).
+- Horizontal/vertical flips and mean/std normalization are exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_sample(img, ty, tx, zy, zx, flip):
+    """Samples one HWC image at zoomed/translated/flipped coordinates.
+
+    The output pixel (y, x) reads input position
+    ``(y - cy) * zy + cy - ty`` (Keras transform convention: zoom about the
+    center, then translate), with bilinear interpolation and edge clamping.
+    """
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = (jnp.arange(h, dtype=jnp.float32) - cy) * zy + cy - ty
+    xs = (jnp.arange(w, dtype=jnp.float32) - cx) * zx + cx - tx
+    xs = jnp.where(flip, (w - 1) - xs, xs)
+    ys = jnp.clip(ys, 0.0, h - 1)
+    xs = jnp.clip(xs, 0.0, w - 1)
+
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def random_affine_batch(
+    images,
+    key,
+    *,
+    width_shift=0.0,
+    height_shift=0.0,
+    zoom=0.0,
+    hflip=False,
+    vflip=False,
+):
+    """Keras-style random shift / zoom / flip for a batch (B, H, W, C)."""
+    b, h, w, _ = images.shape
+    k_ty, k_tx, k_z, k_hf, k_vf = jax.random.split(key, 5)
+    ty = (
+        jax.random.uniform(k_ty, (b,), minval=-height_shift, maxval=height_shift)
+        * h
+        if height_shift
+        else jnp.zeros((b,))
+    )
+    tx = (
+        jax.random.uniform(k_tx, (b,), minval=-width_shift, maxval=width_shift)
+        * w
+        if width_shift
+        else jnp.zeros((b,))
+    )
+    if zoom:
+        z = jax.random.uniform(
+            k_z, (b, 2), minval=1.0 - zoom, maxval=1.0 + zoom
+        )
+        zy, zx = z[:, 0], z[:, 1]
+    else:
+        zy = zx = jnp.ones((b,))
+    flip_h = (
+        jax.random.bernoulli(k_hf, 0.5, (b,))
+        if hflip
+        else jnp.zeros((b,), dtype=bool)
+    )
+
+    out = jax.vmap(_affine_sample)(images, ty, tx, zy, zx, flip_h)
+    if vflip:
+        fv = jax.random.bernoulli(k_vf, 0.5, (b,))
+        out = jnp.where(fv[:, None, None, None], out[:, ::-1], out)
+    return out
+
+
+def random_flip(images, key, horizontal=True, vertical=False):
+    """Exact 50% flips without resampling (for the file-dataset path)."""
+    kh, kv = jax.random.split(key)
+    if horizontal:
+        f = jax.random.bernoulli(kh, 0.5, (images.shape[0],))
+        images = jnp.where(f[:, None, None, None], images[:, :, ::-1], images)
+    if vertical:
+        f = jax.random.bernoulli(kv, 0.5, (images.shape[0],))
+        images = jnp.where(f[:, None, None, None], images[:, ::-1], images)
+    return images
+
+
+def normalize(images, mean, std, bgr=False):
+    """(x - mean) / std with RGB stats; optional RGB->BGR reorder afterwards
+    (``datasets/common.py:514-520``)."""
+    mean = jnp.asarray(mean, dtype=images.dtype)
+    std = jnp.asarray(std, dtype=images.dtype)
+    out = (images - mean) / std
+    if bgr:
+        out = out[..., ::-1]
+    return out
+
+
+def random_erasing(
+    images,
+    key,
+    mean,
+    std,
+    *,
+    probability=0.5,
+    sl=0.02,
+    sh=0.4,
+    r1=0.3,
+    r2=1.0 / 0.3,
+):
+    """Random erasing in normalized space (``datasets/common.py:530-540``).
+
+    Patch area in [sl, sh] * image area, aspect in [r1, r2], filled with
+    uniform [0,255] noise normalized by (mean, std).  Out-of-range patches
+    are clamped to the image instead of re-sampled.
+    """
+    b, h, w, c = images.shape
+    k_p, k_s, k_r, k_x, k_y, k_n = jax.random.split(key, 6)
+    apply = jax.random.bernoulli(k_p, probability, (b,))
+    area = jax.random.uniform(k_s, (b,), minval=sl, maxval=sh) * (h * w)
+    ratio = jax.random.uniform(k_r, (b,), minval=r1, maxval=r2)
+    he = jnp.clip(jnp.sqrt(area * ratio), 1.0, h - 1).astype(jnp.int32)
+    we = jnp.clip(jnp.sqrt(area / ratio), 1.0, w - 1).astype(jnp.int32)
+    ye = (jax.random.uniform(k_y, (b,)) * (h - he)).astype(jnp.int32)
+    xe = (jax.random.uniform(k_x, (b,)) * (w - we)).astype(jnp.int32)
+
+    noise = jax.random.uniform(k_n, images.shape, minval=0.0, maxval=255.0)
+    noise = (noise - jnp.asarray(mean)) / jnp.asarray(std)
+
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    in_patch = (
+        (rows >= ye[:, None, None])
+        & (rows < (ye + he)[:, None, None])
+        & (cols >= xe[:, None, None])
+        & (cols < (xe + we)[:, None, None])
+        & apply[:, None, None]
+    )
+    return jnp.where(in_patch[..., None], noise, images)
+
+
+def random_crop_batch(images, key, crop_h, crop_w):
+    """Random crop with static output shape via per-image dynamic slices.
+
+    Inputs must already be at least (crop_h, crop_w); used by the
+    file-dataset path where the host delivers fixed-size decode targets.
+    """
+    b, h, w, c = images.shape
+    ky, kx = jax.random.split(key)
+    oy = (jax.random.uniform(ky, (b,)) * (h - crop_h + 1)).astype(jnp.int32)
+    ox = (jax.random.uniform(kx, (b,)) * (w - crop_w + 1)).astype(jnp.int32)
+
+    def crop(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (crop_h, crop_w, c))
+
+    return jax.vmap(crop)(images, oy, ox)
+
+
+def center_crop_batch(images, crop_h, crop_w):
+    b, h, w, c = images.shape
+    oy, ox = (h - crop_h) // 2, (w - crop_w) // 2
+    return images[:, oy : oy + crop_h, ox : ox + crop_w, :]

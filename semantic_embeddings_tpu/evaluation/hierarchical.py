@@ -6,7 +6,9 @@ on the *class pair* (query class, retrieved class).  So instead of walking
 every ranking with memoized per-pair recursion, we precompute the dense
 class-pair similarity matrices once (``hierarchy.vectorized``) and turn the
 whole evaluation into batched gathers + cumulative sums over blocks of
-queries — the same structure the on-device retrieval path uses.
+queries — the array core (:class:`HPEvaluator`) consumes ranking matrices
+directly, which is what the device retrieval path produces; the generic
+dict/generator API wraps it for reference compatibility.
 
 Semantics preserved exactly:
 - P@k = sum of top-k similarities / optimal top-k cumulative similarity.
@@ -38,134 +40,83 @@ def _delete_at(rows, pos):
     return np.take_along_axis(rows, idx, axis=1)
 
 
-class _OptimalCumsums:
-    """Per-class optimal (sorted-descending) cumulative similarity curves."""
+class HPEvaluator:
+    """Array-core hierarchical-precision evaluator over a fixed database.
 
-    def __init__(self, sim_matrix):
-        self.sim = sim_matrix
-        self._cache = {}
-
-    def for_class(self, class_idx, ret_class_counts):
-        key = class_idx
-        if key not in self._cache:
-            sims = np.repeat(self.sim[class_idx], ret_class_counts)
-            sims[::-1].sort()
-            self._cache[key] = np.cumsum(sims)
-        return self._cache[key]
-
-
-def hierarchical_precision(
-    hierarchy,
-    retrieved,
-    labels,
-    ks=(1, 10, 50, 100),
-    compute_ahp=False,
-    compute_ap=False,
-    ignore_qids=True,
-    all_ids=None,
-    block_size=256,
-):
-    """Average hierarchical precision over retrieval rankings.
-
-    Parameters mirror the reference API (``class_hierarchy.py:211-238``):
-    ``retrieved`` is a dict / generator of ``(query_id, ranked_id_list)``,
-    ``labels`` maps image ids to class labels (dict, or list indexed by id).
-
-    Returns ``(means, per_query)`` where ``means`` maps metric names
-    (``"P@K (WUP)"``, ``"P@K (LCS_HEIGHT)"``, ``"AHP[@k] (...)"``, ``"AP"``)
-    to averages and ``per_query`` maps them to ``{query_id: value}`` dicts.
+    Parameters
+    ----------
+    hierarchy: ClassHierarchy
+    db_classes: (N,) int — class index (into ``classes``) of each database item.
+    classes: the class labels in index order.
+    ks, compute_ahp, compute_ap, ignore_qids: reference semantics.
     """
-    if isinstance(ks, int):
-        ks = [ks]
-    ks = list(ks)
 
-    label_of = labels.__getitem__
+    def __init__(self, hierarchy, db_classes, classes, ks=(1, 10, 50, 100),
+                 compute_ahp=False, compute_ap=False, ignore_qids=True):
+        self.ks = [ks] if isinstance(ks, int) else list(ks)
+        self.compute_ahp = compute_ahp
+        self.compute_ap = compute_ap
+        self.ignore_qids = ignore_qids
+        self.db_classes = np.asarray(db_classes, dtype=np.int64)
+        self.n_items = len(self.db_classes)
 
-    ahp_suffix = "" if isinstance(compute_ahp, bool) else f"@{int(compute_ahp)}"
-    metric_names = [f"P@{k} ({t})" for k in ks for t in ("WUP", "LCS_HEIGHT")]
-    if compute_ahp:
-        metric_names += [f"AHP{ahp_suffix} (WUP)", f"AHP{ahp_suffix} (LCS_HEIGHT)"]
-    if compute_ap:
-        metric_names.append("AP")
-    per_query = {name: {} for name in metric_names}
-
-    # Lazy state built from the first query's ranking (the database).
-    state = {}
-
-    def _init_state(ret):
-        ids = list(ret)
-        if all_ids and len(ids) < len(all_ids):
-            seen = set(ids)
-            ids = ids + [i for i in all_ids if i not in seen]
-        id_index = {img: i for i, img in enumerate(ids)}
-        img_labels = [label_of(i) for i in ids]
-        classes = list(dict.fromkeys(img_labels))
-        class_index = {c: i for i, c in enumerate(classes)}
         mats = pairwise_matrices(hierarchy, classes)
-        wup_sim = mats["wup"]
-        lcs_sim = 1.0 - mats["lcs_height"]
-        img_class = np.array([class_index[l] for l in img_labels], dtype=np.int64)
-        counts = np.bincount(img_class, minlength=len(classes))
-        state.update(
-            n_items=len(ids),
-            id_index=id_index,
-            class_index=class_index,
-            wup_sim=wup_sim,
-            lcs_sim=lcs_sim,
-            img_class=img_class,
-            counts=counts,
-            best_wup=_OptimalCumsums(wup_sim),
-            best_lcs=_OptimalCumsums(lcs_sim),
-        )
+        self.wup_sim = mats["wup"]
+        self.lcs_sim = 1.0 - mats["lcs_height"]
+        self.counts = np.bincount(self.db_classes, minlength=len(classes))
+        self._best_cache = {}
 
-    def _complete(ret):
-        """Appends ids missing from a ranking, in all_ids order."""
-        if all_ids and len(ret) < len(all_ids):
-            seen = set(ret)
-            return list(ret) + [i for i in all_ids if i not in seen]
-        return list(ret)
-
-    def _process_block(qids, rets):
-        b = len(qids)
-        n = state["n_items"]
-        id_index = state["id_index"]
-        ranked_cls = np.empty((b, n), dtype=np.int64)
-        positions = np.empty((b, n), dtype=np.int64)
-        for r, ret in enumerate(rets):
-            pos = np.fromiter((id_index[i] for i in ret), dtype=np.int64, count=n)
-            positions[r] = pos
-            ranked_cls[r] = state["img_class"][pos]
-        q_cls = np.array(
-            [state["class_index"][label_of(q)] for q in qids], dtype=np.int64
+        self.ahp_suffix = (
+            "" if isinstance(compute_ahp, bool) else f"@{int(compute_ahp)}"
         )
+        self.metric_names = [
+            f"P@{k} ({t})" for k in self.ks for t in ("WUP", "LCS_HEIGHT")
+        ]
+        if compute_ahp:
+            self.metric_names += [
+                f"AHP{self.ahp_suffix} (WUP)",
+                f"AHP{self.ahp_suffix} (LCS_HEIGHT)",
+            ]
+        if compute_ap:
+            self.metric_names.append("AP")
 
-        wup = state["wup_sim"][q_cls[:, None], ranked_cls]
-        lcs = state["lcs_sim"][q_cls[:, None], ranked_cls]
-        best_w = np.stack(
-            [state["best_wup"].for_class(c, state["counts"]) for c in q_cls]
-        )
-        best_l = np.stack(
-            [state["best_lcs"].for_class(c, state["counts"]) for c in q_cls]
-        )
+    def _best_cum(self, class_idx):
+        cached = self._best_cache.get(class_idx)
+        if cached is None:
+            def build(sim):
+                sims = np.repeat(sim[class_idx], self.counts)
+                sims[::-1].sort()
+                return np.cumsum(sims)
 
-        if ignore_qids:
-            for q in qids:
-                if q not in id_index:
-                    raise ValueError(
-                        f"Query id {q!r} does not occur in the ranked database; "
-                        "rankings with external queries require ignore_qids=False."
-                    )
-            q_pos = np.array(
-                [
-                    int(np.argmax(positions[r] == id_index[q]))
-                    for r, q in enumerate(qids)
-                ],
-                dtype=np.int64,
-            )
+            cached = (build(self.wup_sim), build(self.lcs_sim))
+            self._best_cache[class_idx] = cached
+        return cached
+
+    def process(self, q_cls, positions, q_pos=None):
+        """Evaluates a block of queries.
+
+        q_cls: (B,) query class indices.
+        positions: (B, N) ranked database indices.
+        q_pos: (B,) rank of the query itself in its ranking (required when
+            ``ignore_qids``).
+
+        Returns a dict of per-metric (B,) arrays.
+        """
+        ranked_cls = self.db_classes[positions]
+        wup = self.wup_sim[q_cls[:, None], ranked_cls]
+        lcs = self.lcs_sim[q_cls[:, None], ranked_cls]
+        best = [self._best_cum(c) for c in q_cls]
+        best_w = np.stack([b[0] for b in best])
+        best_l = np.stack([b[1] for b in best])
+
+        if self.ignore_qids:
+            if q_pos is None:
+                raise ValueError("q_pos required when ignore_qids=True")
             wup = _delete_at(wup, q_pos)
             lcs = _delete_at(lcs, q_pos)
             # Optimal curve with one perfect (sim 1.0) result removed at the
-            # query's observed rank, as in class_hierarchy.py:294-295.
+            # query's observed rank (class_hierarchy.py:294-295).
+            n = positions.shape[1]
             shift = np.arange(n - 1)[None, :] >= q_pos[:, None]
             idx = np.arange(n - 1)[None, :] + shift
             best_w = np.take_along_axis(best_w, idx, axis=1) - shift
@@ -179,51 +130,119 @@ def hierarchical_precision(
         cum_w = np.cumsum(wup, axis=1)
         cum_l = np.cumsum(lcs, axis=1)
         m = cum_w.shape[1]
-
-        for k in ks:
-            pw = cum_w[:, k - 1] / best_w[:, k - 1]
-            pl = cum_l[:, k - 1] / best_l[:, k - 1]
-            for r, q in enumerate(qids):
-                per_query[f"P@{k} (WUP)"][q] = pw[r]
-                per_query[f"P@{k} (LCS_HEIGHT)"][q] = pl[r]
-
-        if compute_ahp:
-            kc = m if isinstance(compute_ahp, bool) else int(compute_ahp)
-            ratio_w = cum_w[:, :kc] / best_w[:, :kc]
-            ratio_l = cum_l[:, :kc] / best_l[:, :kc]
+        out = {}
+        for k in self.ks:
+            out[f"P@{k} (WUP)"] = cum_w[:, k - 1] / best_w[:, k - 1]
+            out[f"P@{k} (LCS_HEIGHT)"] = cum_l[:, k - 1] / best_l[:, k - 1]
+        if self.compute_ahp:
+            kc = m if isinstance(self.compute_ahp, bool) else int(self.compute_ahp)
             dx = 1.0 / kc
-            ahp_w = dx * (ratio_w.sum(axis=1) - (ratio_w[:, 0] + ratio_w[:, -1]) / 2)
-            ahp_l = dx * (ratio_l.sum(axis=1) - (ratio_l[:, 0] + ratio_l[:, -1]) / 2)
-            for r, q in enumerate(qids):
-                per_query[f"AHP{ahp_suffix} (WUP)"][q] = ahp_w[r]
-                per_query[f"AHP{ahp_suffix} (LCS_HEIGHT)"][q] = ahp_l[r]
-
-        if compute_ap:
+            for tag, cum, bst in (("WUP", cum_w, best_w),
+                                  ("LCS_HEIGHT", cum_l, best_l)):
+                ratio = cum[:, :kc] / bst[:, :kc]
+                out[f"AHP{self.ahp_suffix} ({tag})"] = dx * (
+                    ratio.sum(axis=1) - (ratio[:, 0] + ratio[:, -1]) / 2
+                )
+        if self.compute_ap:
             cum_rel = np.cumsum(rel, axis=1)
-            prec_at = cum_rel / np.arange(1, m + 1)[None, :]
+            prec_at = cum_rel / np.arange(1, rel.shape[1] + 1)[None, :]
             n_pos = cum_rel[:, -1]
-            ap = (prec_at * rel).sum(axis=1) / np.maximum(n_pos, 1)
-            for r, q in enumerate(qids):
-                per_query["AP"][q] = ap[r]
+            out["AP"] = (prec_at * rel).sum(axis=1) / np.maximum(n_pos, 1)
+        return out
+
+
+def hierarchical_precision(
+    hierarchy,
+    retrieved,
+    labels,
+    ks=(1, 10, 50, 100),
+    compute_ahp=False,
+    compute_ap=False,
+    ignore_qids=True,
+    all_ids=None,
+    block_size=256,
+):
+    """Reference-compatible API over :class:`HPEvaluator`.
+
+    ``retrieved`` is a dict / generator of ``(query_id, ranked_id_list)``,
+    ``labels`` maps image ids to class labels (dict, or list indexed by id).
+    Returns ``(means, per_query)`` like ``class_hierarchy.py:211-316``.
+    """
+    label_of = labels.__getitem__
+    state = {}
+    per_query = None
+
+    def _complete(ret):
+        if all_ids and len(ret) < len(all_ids):
+            seen = set(ret)
+            return list(ret) + [i for i in all_ids if i not in seen]
+        return list(ret)
+
+    def _init(ret):
+        ids = list(ret)
+        id_index = {img: i for i, img in enumerate(ids)}
+        img_labels = [label_of(i) for i in ids]
+        classes = list(dict.fromkeys(img_labels))
+        class_index = {c: i for i, c in enumerate(classes)}
+        db_classes = np.array([class_index[l] for l in img_labels])
+        state["id_index"] = id_index
+        state["class_index"] = class_index
+        state["evaluator"] = HPEvaluator(
+            hierarchy, db_classes, classes, ks=ks, compute_ahp=compute_ahp,
+            compute_ap=compute_ap, ignore_qids=ignore_qids,
+        )
+
+    def _flush(block_q, block_r):
+        ev = state["evaluator"]
+        id_index = state["id_index"]
+        b = len(block_q)
+        positions = np.empty((b, ev.n_items), dtype=np.int64)
+        for r, ret in enumerate(block_r):
+            positions[r] = np.fromiter(
+                (id_index[i] for i in ret), dtype=np.int64, count=ev.n_items
+            )
+        q_cls = np.array(
+            [state["class_index"][label_of(q)] for q in block_q], dtype=np.int64
+        )
+        if ignore_qids:
+            for q in block_q:
+                if q not in id_index:
+                    raise ValueError(
+                        f"Query id {q!r} does not occur in the ranked "
+                        "database; rankings with external queries require "
+                        "ignore_qids=False."
+                    )
+            q_idx = np.array([id_index[q] for q in block_q])
+            q_pos = np.argmax(positions == q_idx[:, None], axis=1)
+        else:
+            q_pos = None
+        result = ev.process(q_cls, positions, q_pos)
+        for name, values in result.items():
+            store = per_query[name]
+            for r, q in enumerate(block_q):
+                store[q] = values[r]
 
     block_q, block_r = [], []
     for qid, ret in _as_query_iter(retrieved):
         ret = _complete(ret)
         if not state:
-            _init_state(ret)
-        if len(ret) != state["n_items"]:
+            _init(ret)
+            per_query = {
+                name: {} for name in state["evaluator"].metric_names
+            }
+        if len(ret) != state["evaluator"].n_items:
             raise ValueError(
                 "All rankings must cover the same database "
-                f"({len(ret)} vs {state['n_items']} items); pass all_ids to "
-                "pad incomplete rankings."
+                f"({len(ret)} vs {state['evaluator'].n_items} items); pass "
+                "all_ids to pad incomplete rankings."
             )
         block_q.append(qid)
         block_r.append(ret)
         if len(block_q) >= block_size:
-            _process_block(block_q, block_r)
+            _flush(block_q, block_r)
             block_q, block_r = [], []
     if block_q:
-        _process_block(block_q, block_r)
+        _flush(block_q, block_r)
 
     means = {
         name: sum(values.values()) / len(values)

@@ -1,0 +1,141 @@
+"""All-pairs retrieval: blockwise device GEMM + ranking + metric core.
+
+The reference materializes the full N x N distance matrix on the host and
+argsorts it (``/root/reference/evaluate_retrieval.py:56-67``) — 2.5 G floats
+for ILSVRC val.  Here query blocks stream through the device: one
+(B x d) @ (d x N) GEMM on the MXU per block, ranking on device, and the
+hierarchical-precision math consumes the ranking block immediately
+(:class:`~semantic_embeddings_tpu.evaluation.hierarchical.HPEvaluator`), so
+peak memory is O(B * N) instead of O(N^2).  On a multi-chip mesh the
+database matrix is replicated and query blocks are sharded on the ``data``
+axis; per-block work is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..embeddings.io import load_features
+from .hierarchical import HPEvaluator
+
+
+def _ranking_fn(normalize):
+    """Jitted (queries_block, database) -> ranked database indices."""
+
+    @jax.jit
+    def rank(queries, database, q_index):
+        if normalize:
+            sims = queries @ database.T
+            # Self-similarity forced to +inf so every query ranks itself
+            # first; the evaluator then drops rank 0 (qid removal).
+            order = jnp.argsort(
+                -sims.at[jnp.arange(queries.shape[0]), q_index].set(jnp.inf),
+                axis=-1,
+                stable=True,
+            )
+        else:
+            sq_db = jnp.sum(database * database, axis=-1)
+            sq_q = jnp.sum(queries * queries, axis=-1)
+            dists = sq_q[:, None] + sq_db[None, :] - 2.0 * (queries @ database.T)
+            order = jnp.argsort(
+                dists.at[jnp.arange(queries.shape[0]), q_index].set(-jnp.inf),
+                axis=-1,
+                stable=True,
+            )
+        return order
+
+    return rank
+
+
+def pairwise_ranking_blocks(features, normalize=False, block_size=1024,
+                            pin_self_first=True):
+    """Yields ``(start, ranking_block)`` with the query pinned to rank 0.
+
+    ``features``: (N, d) array.  The database stays resident on device; each
+    block is one MXU GEMM + device sort.
+    """
+    feats = np.asarray(features, dtype=np.float32)
+    if normalize:
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    database = jnp.asarray(feats)
+    rank = _ranking_fn(normalize)
+    n = feats.shape[0]
+    for start in range(0, n, block_size):
+        stop = min(start + block_size, n)
+        q_index = jnp.arange(start, stop)
+        block = rank(database[start:stop], database, q_index)
+        yield start, np.asarray(block)
+
+
+def pairwise_retrieval(features, normalize=False, return_generator=True):
+    """Reference-compatible API (``evaluate_retrieval.py:22-73``): yields
+    ``(query_id, ranked id list)`` per query, ids taken from the feature dict
+    keys (or positional indices)."""
+    ids, feats = load_features(features)
+
+    def gen():
+        for start, block in pairwise_ranking_blocks(feats, normalize):
+            for row_idx, row in enumerate(block):
+                # The reference ranks the query by plain distance sorting
+                # (usually but not necessarily first); downstream qid
+                # removal deletes it wherever it appears, so pinning it to
+                # rank 0 is order-equivalent after removal.
+                qid = start + row_idx
+                if ids is not None:
+                    yield ids[qid], ids[row].tolist()
+                else:
+                    yield qid, row.tolist()
+
+    return gen() if return_generator else dict(gen())
+
+
+def evaluate_retrieval_features(
+    features,
+    labels,
+    hierarchy,
+    ks=(1, 10, 50, 100),
+    compute_ahp=True,
+    compute_ap=True,
+    normalize=False,
+    block_size=1024,
+):
+    """Full device-path evaluation: features -> hierarchical metrics.
+
+    ``labels``: per-item class labels aligned with feature rows.
+    Returns ``(means, per_query)`` with the reference's metric names.
+    """
+    ids, feats = load_features(features)
+    labels = list(labels)
+    classes = list(dict.fromkeys(labels))
+    class_index = {c: i for i, c in enumerate(classes)}
+    db_classes = np.array([class_index[l] for l in labels], dtype=np.int64)
+
+    evaluator = HPEvaluator(
+        hierarchy, db_classes, classes, ks=ks, compute_ahp=compute_ahp,
+        compute_ap=compute_ap, ignore_qids=True,
+    )
+    accum = {name: [] for name in evaluator.metric_names}
+    for start, block in pairwise_ranking_blocks(
+        feats, normalize, block_size, pin_self_first=True
+    ):
+        b = block.shape[0]
+        q_cls = db_classes[start : start + b]
+        q_pos = np.zeros(b, dtype=np.int64)  # query pinned to rank 0
+        result = evaluator.process(q_cls, block, q_pos)
+        for name, values in result.items():
+            accum[name].append(values)
+
+    per_query_arr = {name: np.concatenate(vals) for name, vals in accum.items()}
+    means = {name: float(vals.mean()) for name, vals in per_query_arr.items()}
+    if ids is None:
+        per_query = {
+            name: dict(enumerate(vals)) for name, vals in per_query_arr.items()
+        }
+    else:
+        per_query = {
+            name: {ids[i]: v for i, v in enumerate(vals)}
+            for name, vals in per_query_arr.items()
+        }
+    return means, per_query

@@ -184,6 +184,14 @@ def make_eval_step(
 
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
+        # Optional validity mask: datasets pad the ragged final batch to keep
+        # shapes static; padded rows carry valid=0 and don't affect metrics.
+        valid = raw_batch.get("valid")
+        mask = (
+            jnp.ones(images.shape[0], jnp.float32)
+            if valid is None
+            else valid.astype(jnp.float32)
+        )
         targets = class_embedding[labels]
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -194,17 +202,19 @@ def make_eval_step(
         if cls_weight > 0:
             emb_out, prob = out
             onehot = jax.nn.one_hot(labels, num_classes)
-            metrics["cls_loss"] = L.categorical_crossentropy(onehot, prob).sum()
+            metrics["cls_loss"] = (
+                L.categorical_crossentropy(onehot, prob) * mask
+            ).sum()
             metrics["cls_correct"] = (
-                (jnp.argmax(prob, -1) == labels).astype(jnp.float32).sum()
-            )
+                (jnp.argmax(prob, -1) == labels).astype(jnp.float32) * mask
+            ).sum()
             metrics["pred"] = jnp.argmax(prob, -1)
         else:
             emb_out = out
-        metrics["emb_loss"] = emb_loss(targets, emb_out).sum()
+        metrics["emb_loss"] = (emb_loss(targets, emb_out) * mask).sum()
         if metric_fn is not None:
-            metrics["emb_correct"] = metric_fn(targets, emb_out).sum()
-        metrics["count"] = jnp.asarray(images.shape[0], jnp.float32)
+            metrics["emb_correct"] = (metric_fn(targets, emb_out) * mask).sum()
+        metrics["count"] = mask.sum()
         return metrics
 
     kwargs = {}
