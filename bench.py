@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: CIFAR-100 cosine-loss training on ResNet-110-wfc.
+
+Measures steady-state images/sec/chip of the FULL training step (on-device
+augmentation + forward + cosine/CE losses + backward + Keras-exact SGD
+update) on the default device, mirroring BASELINE.json's headline config
+("CIFAR-100 + ResNet-110 cosine loss").
+
+The reference publishes no throughput numbers (SURVEY.md §6); the comparison
+constant below is an estimate of the Keras 2.2 / TF 1.x single-GPU training
+throughput for resnet-110-wfc on CIFAR (batch 100) on the 2019-era hardware
+the reference targeted.  ``vs_baseline`` = ours / that estimate; the north
+star in BASELINE.json asks for >= 5x.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated images/sec of the reference Keras/TF pipeline on one GPU for
+# resnet-110-wfc @ 32x32 (see module docstring).
+KERAS_GPU_BASELINE_IPS = 1250.0
+
+BATCH = 256
+WARMUP_STEPS = 10
+MEASURE_STEPS = 50
+
+
+def main():
+    import jax
+
+    from semantic_embeddings_tpu.data import SyntheticDataset
+    from semantic_embeddings_tpu.models import EmbeddingModel, build_network
+    from semantic_embeddings_tpu.train import make_train_step, new_train_state
+    from semantic_embeddings_tpu.embeddings import unitsphere_embedding
+    from semantic_embeddings_tpu.hierarchy import (
+        ClassHierarchy,
+        semantic_distance_matrix,
+    )
+
+    # Real semantic embedding targets from the CIFAR taxonomy when available.
+    try:
+        h = ClassHierarchy.from_file(
+            "/root/reference/Cifar-Hierarchy/cifar.parent-child.txt", id_type=int
+        )
+        leaves = sorted(h.leaves())
+        embedding = unitsphere_embedding(
+            1.0 - semantic_distance_matrix(h, leaves)
+        ).astype(np.float32)
+    except Exception:
+        embedding = np.eye(100, dtype=np.float32)
+
+    dataset = SyntheticDataset(num_classes=100, n_train=BATCH * 8, n_test=BATCH)
+    spec = build_network(embedding.shape[1], "resnet-110-wfc")
+    model = EmbeddingModel(
+        backbone=spec.module, output="l2norm", cls_classes=100
+    )
+
+    import jax.numpy as jnp
+
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 32, 32, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    state = new_train_state(variables)
+
+    prepare = dataset.make_prepare()
+    train_step = make_train_step(
+        model, prepare,
+        loss_name="inv_corr",
+        class_embedding=embedding,
+        cls_weight=0.1,
+        l2_penalty_fn=spec.l2_penalty,
+        clipnorm=10.0,
+        donate=True,
+    )
+
+    batches = list(dataset.train_batches(BATCH, 0, 0))
+    rng = jax.random.PRNGKey(0)
+
+    for i in range(WARMUP_STEPS):
+        state, metrics = train_step(state, batches[i % len(batches)], 0.1, rng)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = train_step(state, batches[i % len(batches)], 0.1, rng)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - t0
+
+    ips = BATCH * MEASURE_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_resnet110wfc_cifar100_cosine",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / KERAS_GPU_BASELINE_IPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

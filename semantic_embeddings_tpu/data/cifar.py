@@ -119,12 +119,12 @@ class InMemoryDataset(DatasetBase):
         for idx in self._perm_batches(
             batch_size, epoch, seed, self.labels_train, shuffle=True
         ):
-            yield {"idx": idx.astype(np.int32), "train": np.float32(1.0)}
+            yield {"idx": idx.astype(np.int32)}
 
     def test_batches(self, batch_size):
         idx, valid = batched_indices_masked(self.num_test, batch_size)
         for i, v in zip(idx, valid):
-            yield {"idx": i.astype(np.int32), "valid": v, "train": np.float32(0.0)}
+            yield {"idx": i.astype(np.int32), "valid": v}
 
     # -- device side ---------------------------------------------------
 

@@ -246,8 +246,7 @@ class FileDataset(DatasetBase):
                 yield {
                     "image": self._compose(files, True, rng),
                     "label": self._train_labels[idx],
-                    "train": np.float32(1.0),
-                }
+                    }
 
         return prefetch(gen(), self.queue_size)
 
@@ -262,8 +261,7 @@ class FileDataset(DatasetBase):
                     "image": self._compose(files, False, rng),
                     "label": self._test_labels[idx],
                     "valid": valid,
-                    "train": np.float32(0.0),
-                }
+                    }
 
         return prefetch(gen(), self.queue_size)
 

@@ -42,11 +42,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Places a pytree of host arrays on the mesh, batch-axis sharded."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Places a pytree of host arrays on the mesh, batch-axis sharded
+    (scalars and rank-0 leaves are replicated)."""
+    data = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data if x.ndim >= 1 else rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import batch_sharding, replicated, shard_batch
+from ..parallel import replicate, shard_batch
 from . import losses as L
 from .optimizer import sgd_update
 from .state import TrainState
@@ -154,11 +154,9 @@ def make_train_step(
     kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
-        rep = replicated(mesh)
-        data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, data, None, None)
-        kwargs["out_shardings"] = (rep, rep)
+    # Sharding propagates from the committed input arrays (state replicated,
+    # batch sharded on the data axis by `shard_batch`); GSPMD inserts the
+    # gradient all-reduce, so no explicit in/out_shardings are needed.
     return jax.jit(step, **kwargs)
 
 
@@ -217,12 +215,7 @@ def make_eval_step(
         metrics["count"] = mask.sum()
         return metrics
 
-    kwargs = {}
-    if mesh is not None:
-        rep = replicated(mesh)
-        data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, data, None)
-    return jax.jit(step, **kwargs)
+    return jax.jit(step)
 
 
 def make_forward_fn(model, prepare=None, taps=False, mesh=None):
@@ -294,6 +287,8 @@ def fit(
     from .state import save_checkpoint
 
     val_batch_size = val_batch_size or batch_size
+    if mesh is not None:
+        state = replicate(mesh, state)
     best_metric = np.inf
     base_key = jax.random.PRNGKey(seed)
     steps_per_epoch = dataset.steps_per_epoch(batch_size)

@@ -1,0 +1,87 @@
+"""Multi-chip data-parallel path on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from semantic_embeddings_tpu.data import SyntheticDataset
+from semantic_embeddings_tpu.models import EmbeddingModel, build_network
+from semantic_embeddings_tpu.parallel import (
+    get_mesh,
+    replicate,
+    shard_batch,
+)
+from semantic_embeddings_tpu.train import (
+    make_eval_step,
+    make_train_step,
+    new_train_state,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    embedding = np.eye(8, dtype=np.float32)
+    dataset = SyntheticDataset(num_classes=8, n_train=64, n_test=32, size=8)
+    spec = build_network(8, "simple")
+    model = EmbeddingModel(backbone=spec.module, output="l2norm")
+    import jax.numpy as jnp
+
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((2, 8, 8, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    return embedding, dataset, spec, model, variables
+
+
+def test_sharded_step_matches_single_device(setup):
+    """The pjit-sharded train step must be numerically equal to the
+    single-device step (SURVEY.md §4.3)."""
+    embedding, dataset, spec, model, variables = setup
+    prepare = dataset.make_prepare(augment_train=False)
+    kwargs = dict(
+        loss_name="inv_corr", class_embedding=embedding,
+        l2_penalty_fn=spec.l2_penalty, clipnorm=10.0,
+    )
+    raw = next(iter(dataset.train_batches(32, 0, 0)))
+    rng = jax.random.PRNGKey(3)
+
+    # Single device.
+    state1 = new_train_state(variables)
+    step1 = make_train_step(model, prepare, **kwargs)
+    state1, m1 = step1(state1, raw, 0.1, rng)
+
+    # 8-device mesh.
+    mesh = get_mesh(8)
+    state8 = replicate(mesh, new_train_state(variables))
+    step8 = make_train_step(model, prepare, mesh=mesh, **kwargs)
+    state8, m8 = step8(state8, shard_batch(mesh, raw), 0.1, rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state8.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_eval_step_sharded(setup):
+    embedding, dataset, spec, model, variables = setup
+    prepare = dataset.make_prepare()
+    mesh = get_mesh(8)
+    state = replicate(mesh, new_train_state(variables))
+    eval_step = make_eval_step(
+        model, prepare, loss_name="inv_corr", class_embedding=embedding,
+        mesh=mesh,
+    )
+    raw = next(iter(dataset.test_batches(32)))
+    metrics = eval_step(state, shard_batch(mesh, raw), jax.random.PRNGKey(0))
+    assert float(metrics["count"]) == 32.0
+
+
+def test_graft_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
