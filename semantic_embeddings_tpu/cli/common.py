@@ -144,10 +144,15 @@ def extract_test_features(model, state, dataset, batch_size=100, pick=None):
     return np.concatenate(chunks)
 
 
-def dump_artifacts(args, state, model, dataset, cls_weight=0.0):
+def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None):
     """--model_dump / --weight_dump / --feature_dump handling
-    (``learn_image_embeddings.py:257-275``)."""
+    (``learn_image_embeddings.py:257-275``).  Model dumps carry the model
+    configuration so evaluation CLIs can rebuild the module without flags."""
     from ..train.state import save_checkpoint, save_weights
+
+    metadata = {"architecture": getattr(args, "architecture", None)}
+    if meta:
+        metadata.update(meta)
 
     if getattr(args, "weight_dump", None):
         try:
@@ -156,10 +161,7 @@ def dump_artifacts(args, state, model, dataset, cls_weight=0.0):
             print(f"An error occurred while saving the model weights: {e}")
     if getattr(args, "model_dump", None):
         try:
-            save_checkpoint(
-                args.model_dump, state,
-                {"architecture": getattr(args, "architecture", None)},
-            )
+            save_checkpoint(args.model_dump, state, metadata)
         except Exception as e:  # noqa: BLE001
             print(f"An error occurred while saving the model: {e}")
     if getattr(args, "feature_dump", None):
@@ -169,6 +171,99 @@ def dump_artifacts(args, state, model, dataset, cls_weight=0.0):
             pick=0 if cls_weight > 0 else None,
         )
         save_features(args.feature_dump, feats)
+
+
+def extract_by_tap(model, variables, prepare, batches, layer=None,
+                   train_branch=False, pick=None):
+    """Extracts features at a named tap (avg_pool / embedding / l2norm /
+    prob / softmax) — the TPU equivalent of the reference's ``--layer``
+    sub-model extraction (``evaluate_classification_accuracy.py:27``).
+
+    With ``layer=None`` the model's final output is used (``pick`` selects a
+    tuple element for multi-output models).
+    """
+    import jax
+
+    @jax.jit
+    def forward(variables, raw):
+        images, _ = prepare(raw, jax.random.PRNGKey(0), train_branch)
+        out, inter = model.apply(
+            variables, images, train=False, mutable=["intermediates"]
+        )
+        return out, inter["intermediates"]
+
+    chunks = []
+    for raw in batches:
+        out, taps = forward(variables, raw)
+        if layer is None:
+            feats = out if pick is None else out[pick]
+        else:
+            flat = jax.tree_util.tree_flatten_with_path(taps)[0]
+            match = None
+            for path, leaf in flat:
+                names = [str(getattr(p, "key", getattr(p, "name", p)))
+                         for p in path]
+                if layer in names:
+                    match = leaf
+                    break
+            if match is None:
+                available = sorted(
+                    {n for path, _ in flat
+                     for n in (str(getattr(p, "key", getattr(p, "name", p)))
+                               for p in path)
+                     if not n.isdigit()}
+                )
+                raise ValueError(
+                    f"No feature tap named {layer!r}; available: {available}"
+                )
+            feats = match
+        valid = np.asarray(raw["valid"]) > 0 if "valid" in raw else None
+        feats = np.asarray(feats)
+        chunks.append(feats[valid] if valid is not None else feats)
+    return np.concatenate(chunks)
+
+
+def rebuild_model_from_checkpoint(path, architecture=None):
+    """Loads a model dump and reconstructs the module from its metadata.
+
+    Returns ``(model, variables, metadata)``.
+    """
+    from ..train.state import load_checkpoint_raw
+
+    variables, meta = load_checkpoint_raw(path)
+    arch = meta.get("architecture") or architecture
+    if arch is None:
+        raise ValueError(
+            f"Checkpoint {path} has no architecture metadata; pass "
+            "--architecture."
+        )
+    params = variables["params"]
+    if "backbone" in params:
+        embed_dim = meta.get("embed_dim")
+        if embed_dim is None:
+            top = params["backbone"].get("top", {})
+            embed_dim = (
+                int(np.asarray(top["kernel"]).shape[-1]) if top else 0
+            )
+        cls_classes = meta.get("cls_classes", 0)
+        if not cls_classes and "cls_top" in params:
+            cls_classes = int(np.asarray(params["cls_top"]["kernel"]).shape[-1])
+        model, _ = build_embedding_model(
+            embed_dim, arch, meta.get("loss", "inv_corr"), cls_classes
+        )
+    else:
+        spec = build_network(
+            _classifier_outputs(params), arch, classification=True
+        )
+        model = spec.module
+    return model, variables, meta
+
+
+def _classifier_outputs(params):
+    top = params.get("top")
+    if top is not None:
+        return int(np.asarray(top["kernel"]).shape[-1])
+    raise ValueError("Cannot infer the classifier output width from params.")
 
 
 class MetricsLogger:

@@ -126,6 +126,15 @@ class InMemoryDataset(DatasetBase):
         for i, v in zip(idx, valid):
             yield {"idx": i.astype(np.int32), "valid": v}
 
+    def train_eval_batches(self, batch_size, augment=False, epochs=1):
+        """Ordered masked batches over the *training* set (for SVM-mode
+        feature extraction); consume with ``prepare(raw, rng, train=True)``
+        built via ``make_prepare(augment_train=augment)``."""
+        for _ in range(epochs):
+            idx, valid = batched_indices_masked(self.num_train, batch_size)
+            for i, v in zip(idx, valid):
+                yield {"idx": i.astype(np.int32), "valid": v}
+
     # -- device side ---------------------------------------------------
 
     def _arrays(self):

@@ -265,6 +265,27 @@ class FileDataset(DatasetBase):
 
         return prefetch(gen(), self.queue_size)
 
+    def train_eval_batches(self, batch_size, augment=False, epochs=1):
+        """Ordered masked batches over the training files (SVM-mode feature
+        extraction; with ``augment`` the host applies train-time transforms,
+        ``evaluate_classification_accuracy.py:31``)."""
+        rng = np.random.default_rng(0)
+
+        def gen():
+            for _ in range(epochs):
+                idx_b, valid_b = batched_indices_masked(
+                    self.num_train, batch_size
+                )
+                for idx, valid in zip(idx_b, valid_b):
+                    files = [self.train_img_files[i] for i in idx]
+                    yield {
+                        "image": self._compose(files, augment, rng),
+                        "label": self._train_labels[idx],
+                        "valid": valid,
+                    }
+
+        return prefetch(gen(), self.queue_size)
+
     # -- device side ---------------------------------------------------
 
     def make_prepare(self, augment_train=True):

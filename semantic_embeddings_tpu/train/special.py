@@ -1,0 +1,170 @@
+"""Train/eval steps for the baseline learners (label embedding, center loss).
+
+Loss semantics from ``/root/reference/learn_labelembedding.py:17-37,146`` and
+``learn_center_loss.py:35-39,138-139``; both use the Keras-exact SGD update.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import losses as L
+from .optimizer import sgd_update
+from .state import TrainState
+from .trainer import _trainable_mask
+
+
+def make_labelembed_train_step(
+    model,
+    prepare: Callable,
+    *,
+    tau=2.0,
+    alpha=0.9,
+    beta=0.5,
+    momentum=0.9,
+    nesterov=False,
+    clipnorm=10.0,
+    trainable_fn=None,
+    donate=False,
+):
+    def step(state: TrainState, raw_batch, lr, rng):
+        images, labels = prepare(raw_batch, rng, True)
+
+        def loss_fn(params):
+            (emb, out1, out2, tar), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, labels, train=True, mutable=["batch_stats"],
+            )
+            per_sample = L.labelembed_loss(
+                out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta
+            )
+            total = per_sample.mean()
+            metrics = {
+                "loss": total,
+                "acc": (jnp.argmax(out1, -1) == labels)
+                .astype(jnp.float32).mean(),
+            }
+            return total, (mut["batch_stats"], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if trainable_fn is not None:
+            mask = _trainable_mask(state.params, trainable_fn)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        new_params, new_vel = sgd_update(
+            state.params, state.velocity, grads, lr,
+            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        )
+        return (
+            state.replace(params=new_params, velocity=new_vel,
+                          batch_stats=new_bs, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
+
+
+def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5):
+    def step(state: TrainState, raw_batch, rng):
+        images, labels = prepare(raw_batch, rng, False)
+        valid = raw_batch.get("valid")
+        mask = (
+            jnp.ones(images.shape[0], jnp.float32)
+            if valid is None else valid.astype(jnp.float32)
+        )
+        emb, out1, out2, tar = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, labels, train=False,
+        )
+        per_sample = L.labelembed_loss(
+            out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta
+        )
+        return {
+            "emb_loss": (per_sample * mask).sum(),
+            "cls_correct": (
+                (jnp.argmax(out1, -1) == labels).astype(jnp.float32) * mask
+            ).sum(),
+            "pred": jnp.argmax(out1, -1),
+            "count": mask.sum(),
+        }
+
+    return jax.jit(step)
+
+
+def make_center_loss_train_step(
+    model,
+    prepare: Callable,
+    *,
+    num_classes,
+    center_loss_weight=0.1,
+    momentum=0.9,
+    nesterov=False,
+    clipnorm=10.0,
+    trainable_fn=None,
+    donate=False,
+):
+    def step(state: TrainState, raw_batch, lr, rng):
+        images, labels = prepare(raw_batch, rng, True)
+        onehot = jax.nn.one_hot(labels, num_classes)
+
+        def loss_fn(params):
+            (emb, prob, center_dist), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, labels, train=True, mutable=["batch_stats"],
+            )
+            ce = L.categorical_crossentropy(onehot, prob).mean()
+            cl = center_dist.mean()
+            total = ce + center_loss_weight * cl
+            metrics = {
+                "loss": total,
+                "ce": ce,
+                "center_loss": cl,
+                "acc": (jnp.argmax(prob, -1) == labels)
+                .astype(jnp.float32).mean(),
+            }
+            return total, (mut["batch_stats"], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if trainable_fn is not None:
+            mask = _trainable_mask(state.params, trainable_fn)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        new_params, new_vel = sgd_update(
+            state.params, state.velocity, grads, lr,
+            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        )
+        return (
+            state.replace(params=new_params, velocity=new_vel,
+                          batch_stats=new_bs, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
+
+
+def make_center_loss_eval_step(model, prepare, *, num_classes,
+                               center_loss_weight=0.1):
+    def step(state: TrainState, raw_batch, rng):
+        images, labels = prepare(raw_batch, rng, False)
+        valid = raw_batch.get("valid")
+        mask = (
+            jnp.ones(images.shape[0], jnp.float32)
+            if valid is None else valid.astype(jnp.float32)
+        )
+        onehot = jax.nn.one_hot(labels, num_classes)
+        emb, prob, center_dist = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, labels, train=False,
+        )
+        ce = L.categorical_crossentropy(onehot, prob)
+        return {
+            "emb_loss": ((ce + center_loss_weight * center_dist) * mask).sum(),
+            "cls_correct": (
+                (jnp.argmax(prob, -1) == labels).astype(jnp.float32) * mask
+            ).sum(),
+            "pred": jnp.argmax(prob, -1),
+            "count": mask.sum(),
+        }
+
+    return jax.jit(step)

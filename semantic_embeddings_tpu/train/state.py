@@ -54,6 +54,20 @@ def save_checkpoint(path, state: TrainState, metadata=None):
     os.replace(tmp, path)
 
 
+def load_checkpoint_raw(path):
+    """Restores a checkpoint without a structural template: returns
+    ``(variables_dict, metadata)`` where variables has 'params' and
+    'batch_stats' as plain nested dicts (usable directly by model.apply)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    raw = serialization.msgpack_restore(payload["state"])
+    variables = {
+        "params": raw.get("params", {}),
+        "batch_stats": raw.get("batch_stats", {}),
+    }
+    return variables, payload.get("metadata", {})
+
+
 def load_checkpoint(path, template: TrainState):
     """Restores a checkpoint into the structure of ``template``."""
     with open(path, "rb") as f:

@@ -80,6 +80,8 @@ def make_train_step(
     metric_fn: Callable | None = None,
     mesh=None,
     donate: bool = False,
+    loss_fn_override: Callable | None = None,
+    optimizer: str = "sgd",
 ):
     """Builds the jitted train step.
 
@@ -87,8 +89,16 @@ def make_train_step(
     ``(images, labels)``; ``class_embedding`` (n_classes, d) provides the
     per-sample regression targets via an on-device gather (the reference's
     host-side ``transform_inputs``, ``learn_image_embeddings.py:48-50``).
+
+    ``loss_fn_override``: per-sample loss ``(targets, emb_out) -> (B,)``
+    replacing the named loss (used by DeViSE's ranking loss).
+    ``optimizer``: 'sgd' (Keras-exact) or 'adagrad' (DeViSE); the state's
+    ``velocity`` tree doubles as the Adagrad accumulator.
     """
-    emb_loss = EMB_LOSSES[loss_name]
+    emb_loss = (
+        loss_fn_override if loss_fn_override is not None
+        else EMB_LOSSES[loss_name]
+    )
     class_embedding = (
         None
         if class_embedding is None
@@ -134,15 +144,22 @@ def make_train_step(
         if trainable_fn is not None:
             mask = _trainable_mask(state.params, trainable_fn)
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        new_params, new_vel = sgd_update(
-            state.params,
-            state.velocity,
-            grads,
-            lr,
-            momentum=momentum,
-            nesterov=nesterov,
-            clipnorm=clipnorm,
-        )
+        if optimizer == "adagrad":
+            from .optimizer import adagrad_update
+
+            new_params, new_vel = adagrad_update(
+                state.params, state.velocity, grads, lr
+            )
+        else:
+            new_params, new_vel = sgd_update(
+                state.params,
+                state.velocity,
+                grads,
+                lr,
+                momentum=momentum,
+                nesterov=nesterov,
+                clipnorm=clipnorm,
+            )
         new_state = state.replace(
             params=new_params,
             velocity=new_vel,
@@ -169,10 +186,14 @@ def make_eval_step(
     cls_weight: float = 0.0,
     metric_fn: Callable | None = None,
     mesh=None,
+    loss_fn_override: Callable | None = None,
 ):
     """Validation step: running BN stats, no update; returns summed metrics
     and the batch size so ragged final batches average correctly."""
-    emb_loss = EMB_LOSSES[loss_name]
+    emb_loss = (
+        loss_fn_override if loss_fn_override is not None
+        else EMB_LOSSES[loss_name]
+    )
     class_embedding = (
         None
         if class_embedding is None
@@ -214,6 +235,104 @@ def make_eval_step(
             metrics["emb_correct"] = (metric_fn(targets, emb_out) * mask).sum()
         metrics["count"] = mask.sum()
         return metrics
+
+    return jax.jit(step)
+
+
+def make_classifier_train_step(
+    model,
+    prepare: Callable,
+    *,
+    num_classes: int,
+    label_smoothing: float = 0.0,
+    l2_penalty_fn: Callable | None = None,
+    momentum: float = 0.9,
+    nesterov: bool = False,
+    clipnorm: float = 10.0,
+    trainable_fn: Callable | None = None,
+    mesh=None,
+    donate: bool = False,
+):
+    """Plain softmax-classifier training (``learn_classifier.py``): CE on the
+    model's softmax output with optional label smoothing
+    (``learn_classifier.py:17-22``)."""
+
+    def step(state: TrainState, raw_batch, lr, rng):
+        images, labels = prepare(raw_batch, rng, True)
+        onehot = L.label_smoothing(
+            jax.nn.one_hot(labels, num_classes), label_smoothing
+        )
+
+        def loss_fn(params):
+            prob, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            ce = L.categorical_crossentropy(onehot, prob).mean()
+            total = ce
+            if l2_penalty_fn is not None:
+                total = total + l2_penalty_fn(params)
+            metrics = {
+                "loss": total,
+                "ce": ce,
+                "acc": (jnp.argmax(prob, -1) == labels).astype(jnp.float32).mean(),
+            }
+            return total, (mut["batch_stats"], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if trainable_fn is not None:
+            mask = _trainable_mask(state.params, trainable_fn)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        new_params, new_vel = sgd_update(
+            state.params, state.velocity, grads, lr,
+            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        )
+        return (
+            state.replace(
+                params=new_params, velocity=new_vel, batch_stats=new_bs,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    kwargs = {"donate_argnums": (0,)} if donate else {}
+    return jax.jit(step, **kwargs)
+
+
+def make_classifier_eval_step(
+    model,
+    prepare: Callable,
+    *,
+    num_classes: int,
+    label_smoothing: float = 0.0,
+    mesh=None,
+):
+    def step(state: TrainState, raw_batch, rng):
+        images, labels = prepare(raw_batch, rng, False)
+        valid = raw_batch.get("valid")
+        mask = (
+            jnp.ones(images.shape[0], jnp.float32)
+            if valid is None
+            else valid.astype(jnp.float32)
+        )
+        onehot = L.label_smoothing(
+            jax.nn.one_hot(labels, num_classes), label_smoothing
+        )
+        prob = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        return {
+            "emb_loss": (L.categorical_crossentropy(onehot, prob) * mask).sum(),
+            "cls_correct": (
+                (jnp.argmax(prob, -1) == labels).astype(jnp.float32) * mask
+            ).sum(),
+            "pred": jnp.argmax(prob, -1),
+            "count": mask.sum(),
+        }
 
     return jax.jit(step)
 
