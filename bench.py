@@ -55,8 +55,10 @@ def main():
 
     dataset = SyntheticDataset(num_classes=100, n_train=BATCH * 8, n_test=BATCH)
     spec = build_network(embedding.shape[1], "resnet-110-wfc")
+    # Raw-embedding output: normalization lives in the fused Pallas cosine
+    # loss (forward + backward in one kernel each).
     model = EmbeddingModel(
-        backbone=spec.module, output="l2norm", cls_classes=100
+        backbone=spec.module, output="linear", cls_classes=100
     )
 
     import jax.numpy as jnp
@@ -66,10 +68,13 @@ def main():
     )(jax.random.PRNGKey(0))
     state = new_train_state(variables)
 
+    from semantic_embeddings_tpu.ops import fused_cosine_loss
+
     prepare = dataset.make_prepare()
     train_step = make_train_step(
         model, prepare,
         loss_name="inv_corr",
+        loss_fn_override=lambda tgt, z: fused_cosine_loss(z, tgt),
         class_embedding=embedding,
         cls_weight=0.1,
         l2_penalty_fn=spec.l2_penalty,

@@ -1,0 +1,7 @@
+#!/usr/bin/env python3
+"""Entry point mirroring the reference's learn_devise.py CLI."""
+
+from semantic_embeddings_tpu.cli.learn_devise import main
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,14 @@ class CenterLossModel(nn.Module):
         prob = nn.softmax(y.astype(jnp.float32))
 
         if self.fixed_centroids is not None:
-            init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
-                self.fixed_centroids, dtype=dtype
-            )
+            fixed = jnp.asarray(self.fixed_centroids, dtype=jnp.float32)
+            if fixed.shape != (self.num_classes, self.embed_dim):
+                raise ValueError(
+                    f"Fixed centroids shape {fixed.shape} does not match "
+                    f"({self.num_classes}, {self.embed_dim}); the centroid "
+                    "pickle's classes must match the dataset."
+                )
+            init = lambda key, shape, dtype=jnp.float32: fixed
         else:
             init = nn.initializers.uniform(scale=0.05)
         centroids = self.param(

@@ -105,8 +105,8 @@ class PiecewiseSchedule:
     per_batch = False
 
     def __init__(self, points, initial_lr=0.1):
-        # points: list of (zero-based epoch, lr-or-None), sorted.
-        self.points = sorted(points)
+        # points: list of (zero-based epoch, lr-or-None), sorted by epoch.
+        self.points = sorted(points, key=lambda p: p[0])
         self.initial_lr = initial_lr
 
     @classmethod
