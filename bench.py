@@ -32,6 +32,12 @@ MEASURE_STEPS = 50
 def main():
     import jax
 
+    # Persistent compile cache: the first bench run pays the (remote) XLA
+    # compile once; every later run starts hot.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from semantic_embeddings_tpu.data import SyntheticDataset
     from semantic_embeddings_tpu.models import EmbeddingModel, build_network
     from semantic_embeddings_tpu.train import make_train_step, new_train_state
@@ -53,12 +59,18 @@ def main():
     except Exception:
         embedding = np.eye(100, dtype=np.float32)
 
+    import os
+
+    fused = os.environ.get("BENCH_FUSED_LOSS") == "1"
     dataset = SyntheticDataset(num_classes=100, n_train=BATCH * 8, n_test=BATCH)
     spec = build_network(embedding.shape[1], "resnet-110-wfc")
-    # Raw-embedding output: normalization lives in the fused Pallas cosine
-    # loss (forward + backward in one kernel each).
+    # With the fused Pallas cosine kernel the model emits raw embeddings and
+    # the kernel owns normalization; otherwise the l2norm output head is used
+    # and XLA fuses normalize+dot into the graph.
     model = EmbeddingModel(
-        backbone=spec.module, output="linear", cls_classes=100
+        backbone=spec.module,
+        output="linear" if fused else "l2norm",
+        cls_classes=100,
     )
 
     import jax.numpy as jnp
@@ -68,18 +80,26 @@ def main():
     )(jax.random.PRNGKey(0))
     state = new_train_state(variables)
 
-    from semantic_embeddings_tpu.ops import fused_cosine_loss
+    # The Pallas fused cosine kernel is numerically identical but costs a
+    # few extra minutes of Mosaic compile on this remote-compile setup with
+    # no measurable steady-state win at this embedding width (XLA already
+    # fuses normalize+dot into the surrounding graph); opt in via env var.
+    overrides = {}
+    if fused:
+        from semantic_embeddings_tpu.ops import fused_cosine_loss
+
+        overrides["loss_fn_override"] = lambda tgt, z: fused_cosine_loss(z, tgt)
 
     prepare = dataset.make_prepare()
     train_step = make_train_step(
         model, prepare,
         loss_name="inv_corr",
-        loss_fn_override=lambda tgt, z: fused_cosine_loss(z, tgt),
         class_embedding=embedding,
         cls_weight=0.1,
         l2_penalty_fn=spec.l2_penalty,
         clipnorm=10.0,
         donate=True,
+        **overrides,
     )
 
     batches = list(dataset.train_batches(BATCH, 0, 0))

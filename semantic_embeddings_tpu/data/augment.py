@@ -161,6 +161,115 @@ def random_erasing(
     return jnp.where(in_patch[..., None], noise, images)
 
 
+def rgb_to_hsv(rgb):
+    """Channels-last RGB [0,1] -> HSV [0,1] (matplotlib convention)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-20), 0.0)
+    safe = jnp.maximum(delta, 1e-20)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    """Channels-last HSV [0,1] -> RGB [0,1]."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def distort_color(
+    images,
+    key,
+    fast_mode=True,
+    brightness_delta=32.0 / 255.0,
+    hue_delta=0.2,
+    saturation_range=(0.5, 1.5),
+    contrast_range=(0.5, 1.5),
+):
+    """Random color distortion on device (``datasets/common.py:848-946``).
+
+    Inputs in [0, 255]; per-image random parameters.  Fast mode perturbs
+    brightness (HSV value) and saturation — these act on disjoint HSV
+    channels, so the reference's random op ordering is a no-op and a single
+    combined application is exact.  Full mode applies brightness / hue /
+    saturation / contrast in one of the reference's four orderings chosen
+    per image (``lax.switch``).
+    """
+    b = images.shape[0]
+    x = images / 255.0
+    keys = jax.random.split(key, 6)
+    bright = jax.random.uniform(
+        keys[0], (b,), minval=-brightness_delta, maxval=brightness_delta
+    )
+    sat = jax.random.uniform(
+        keys[1], (b,), minval=saturation_range[0], maxval=saturation_range[1]
+    )
+
+    if fast_mode:
+        hsv = rgb_to_hsv(x)
+        h = hsv[..., 0]
+        s = jnp.clip(hsv[..., 1] * sat[:, None, None], 0.0, 1.0)
+        v = jnp.clip(hsv[..., 2] + bright[:, None, None], 0.0, 1.0)
+        out = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+        return out * 255.0
+
+    hue = jax.random.uniform(keys[2], (b,), minval=-hue_delta, maxval=hue_delta)
+    contrast = jax.random.uniform(
+        keys[3], (b, 1, 1, 3), minval=contrast_range[0],
+        maxval=contrast_range[1],
+    )
+    order = jax.random.randint(keys[4], (b,), 0, 4)
+
+    def apply_one(img, br, st, hu, cf, ordering):
+        def brightness_fn(y):
+            return jnp.clip(y + br, 0.0, 1.0)
+
+        def hue_sat_fn(y, do_bright_hsv=False):
+            hsv = rgb_to_hsv(y)
+            h = (hsv[..., 0] + hu) % 1.0
+            s = jnp.clip(hsv[..., 1] * st, 0.0, 1.0)
+            v = hsv[..., 2]
+            if do_bright_hsv:
+                v = jnp.clip(v + br, 0.0, 1.0)
+            return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+        def contrast_fn(y):
+            mean = y.mean(axis=(0, 1), keepdims=True)
+            return jnp.clip((y - mean) * cf + mean, 0.0, 1.0)
+
+        branches = [
+            lambda y: contrast_fn(hue_sat_fn(brightness_fn(y))),
+            lambda y: hue_sat_fn(contrast_fn(brightness_fn(y))),
+            lambda y: hue_sat_fn(contrast_fn(y), do_bright_hsv=True),
+            lambda y: brightness_fn(contrast_fn(hue_sat_fn(y))),
+        ]
+        return jax.lax.switch(ordering, branches, img)
+
+    out = jax.vmap(apply_one)(x, bright, sat, hue, contrast[:, 0, 0, :], order)
+    return out * 255.0
+
+
 def random_crop_batch(images, key, crop_h, crop_w):
     """Random crop with static output shape via per-image dynamic slices.
 

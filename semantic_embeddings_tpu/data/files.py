@@ -297,16 +297,25 @@ class FileDataset(DatasetBase):
             k: self.randerase_params[k] for k in ("sl", "sh", "r1", "r2")
         }
 
+        distort = self.distort_colors
+        distort_kw = dict(self.colordistort_params)
+
         def prepare(raw, rng, train):
+            import jax
+
             images = raw["image"].astype(jnp.float32)
             labels = raw["label"]
+            k_color, k_flip, k_erase = jax.random.split(rng, 3)
+            if train and augment_train and distort:
+                images = augment.distort_color(images, k_color, **distort_kw)
             images = augment.normalize(images, mean, std, bgr=bgr)
             if train and augment_train:
-                images = augment.random_flip(images, rng, horizontal=True)
+                images = augment.random_flip(images, k_flip, horizontal=True)
                 if erase_p > 0:
                     # mean/std already applied; erase in normalized space
                     images = augment.random_erasing(
-                        images, rng, mean, std, probability=erase_p, **erase_kw
+                        images, k_erase, mean, std,
+                        probability=erase_p, **erase_kw,
                     )
             return images, labels
 
