@@ -214,10 +214,54 @@ class FileDataset(DatasetBase):
             )
         return arr
 
+    #: set False to force the pure-Python (PIL) decode path
+    use_native = True
+
+    def _native_targets(self, n, train, rng):
+        """Per-image shorter-side resize targets for the native decoder, or
+        None when the configuration needs the Python path (tuple targets,
+        relative zoom of the original size, rotation)."""
+        if train and self.randrot_max > 0:
+            return None
+        base = self.default_target_size
+        if isinstance(base, tuple):
+            return None
+        if train and self.randzoom_range is not None:
+            lo, hi = self.randzoom_range
+            if isinstance(lo, float):
+                if not isinstance(base, int) or base <= 0:
+                    return None
+                return np.round(
+                    base * rng.uniform(lo, hi, size=n)
+                ).astype(np.int32)
+            return rng.integers(lo, hi, size=n).astype(np.int32)
+        return np.full(n, base if base and base > 0 else 0, dtype=np.int32)
+
     def _compose(self, files, train, rng):
+        n = len(files)
+        seeds = rng.integers(1, 2 ** 62, size=n)
+        if self.use_native:
+            targets = self._native_targets(n, train, rng)
+            if targets is not None:
+                from .. import native
+
+                if native.loader() is not None:
+                    batch, ok = native.decode_batch(
+                        files, targets, seeds, train,
+                        self.cropsize[1], self.cropsize[0],
+                        n_threads=self.read_workers,
+                    )
+                    if not ok.all():
+                        # Non-JPEG / corrupt files: PIL fallback per image.
+                        for i in np.flatnonzero(~ok):
+                            batch[i] = self._load_crop(
+                                files[i], train,
+                                np.random.default_rng(seeds[i]),
+                            )
+                    return batch
+
         if self._pool is None:
             self._pool = ThreadPoolExecutor(max_workers=self.read_workers)
-        seeds = rng.integers(0, 2 ** 31, size=len(files))
         arrs = list(
             self._pool.map(
                 lambda fs: self._load_crop(

@@ -211,10 +211,13 @@ def build_network(
         return ModelSpec(architecture, module, [], 224)
 
     if architecture == "nasnet-a":
-        raise NotImplementedError(
-            "nasnet-a is not implemented yet in the TPU port; use the "
-            "resnet-50/101/152 family for ImageNet-scale experiments."
+        from .nasnet import NASNetA
+
+        module = NASNetA(
+            classes=num_outputs, include_top=True, top_activation=top,
+            dtype=dtype,
         )
+        return ModelSpec(architecture, module, [], 224)  # no regularizer in ref
 
     raise ValueError(f"Unknown network architecture: {architecture}")
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import KerasBatchNorm, avg_pool, conv, dense, global_avg_pool, max_pool
@@ -24,6 +25,96 @@ from .layers import KerasBatchNorm, avg_pool, conv, dense, global_avg_pool, max_
 
 def _bn(dtype, name):
     return KerasBatchNorm(momentum=0.99, epsilon=1.1e-5, dtype=dtype, name=name)
+
+
+def sub_pixel_upscale(x, scale=2):
+    """Sub-pixel (depth-to-space) upscaling.
+
+    TPU-native equivalent of the reference's ``SubPixelUpscaling`` layer and
+    its TF/Theano ``depth_to_space`` backends
+    (``/root/reference/models/DenseNet/subpixel.py:16``): one reshape +
+    transpose that XLA fuses away.
+    """
+    b, h, w, c = x.shape
+    oc = c // (scale * scale)
+    x = x.reshape(b, h, w, scale, scale, oc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * scale, w * scale, oc)
+
+
+class DenseNetFCN(nn.Module):
+    """Fully-convolutional DenseNet (Tiramisu-style encoder/decoder).
+
+    Functional counterpart of the reference's vendored ``DenseNetFCN``
+    (``/root/reference/models/DenseNet/densenet.py:256-363,665+``): dense
+    blocks down a maxpool path with skip connections, upsampling via
+    transposed conv / sub-pixel shuffle, and a 1x1 classifier head.
+    """
+
+    classes: int = 12
+    nb_dense_block: int = 5
+    growth_rate: int = 16
+    layers_per_block: int = 4
+    init_conv_filters: int = 48
+    upsampling_type: str = "deconv"  # 'deconv' | 'subpixel' | 'upsampling'
+    top_activation: str | None = "softmax"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(kernel_init="he_normal", use_bias=False, dtype=self.dtype)
+
+        def dense_block(x, prefix):
+            feats = []
+            for i in range(self.layers_per_block):
+                y = _bn(self.dtype, f"{prefix}_l{i}_bn")(x, train)
+                y = nn.relu(y)
+                y = conv(self.growth_rate, 3, name=f"{prefix}_l{i}_grow", **kw)(y)
+                feats.append(y)
+                x = jnp.concatenate([x, y], axis=-1)
+            return x, jnp.concatenate(feats, axis=-1)
+
+        def upsample(x, prefix):
+            feats = x.shape[-1]
+            if self.upsampling_type == "upsampling":
+                b, h, w, c = x.shape
+                return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+            if self.upsampling_type == "subpixel":
+                y = conv(feats * 4, 3, name=f"{prefix}_sp", **kw)(nn.relu(x))
+                return sub_pixel_upscale(y, 2)
+            return nn.ConvTranspose(
+                feats, (3, 3), strides=(2, 2), padding="SAME",
+                dtype=self.dtype, name=f"{prefix}_deconv",
+            )(nn.relu(x))
+
+        x = conv(self.init_conv_filters, 3, name="conv_init", **kw)(x)
+
+        skips = []
+        for d in range(self.nb_dense_block):
+            x, _ = dense_block(x, f"down{d}")
+            skips.append(x)
+            # transition down: BN-relu-1x1 conv + 2x2 max pool
+            y = _bn(self.dtype, f"down{d}_td_bn")(x, train)
+            y = nn.relu(y)
+            y = conv(x.shape[-1], 1, name=f"down{d}_td_conv", **kw)(y)
+            x = max_pool(y, 2)
+
+        x, new_feats = dense_block(x, "bottleneck")
+        x = new_feats  # only the newly produced features go up
+
+        for d in reversed(range(self.nb_dense_block)):
+            x = upsample(x, f"up{d}")
+            skip = skips[d]
+            # Crop to the skip's spatial dims if deconv overshoots odd sizes.
+            x = x[:, : skip.shape[1], : skip.shape[2], :]
+            x = jnp.concatenate([x, skip], axis=-1)
+            _, x = dense_block(x, f"up{d}")
+
+        x = conv(self.classes, 1, name="head", kernel_init="he_normal",
+                 use_bias=True, dtype=self.dtype)(x)
+        if self.top_activation == "softmax":
+            x = nn.softmax(x.astype(jnp.float32))
+        return x
 
 
 class DenseNet(nn.Module):

@@ -48,9 +48,11 @@ def channel_pad(x, before, after):
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (int(before), int(after))))
 
 
-def avg_pool(x, window, stride=None):
+def avg_pool(x, window, stride=None, padding="VALID"):
     stride = stride or window
-    return nn.avg_pool(x, (window, window), strides=(stride, stride))
+    return nn.avg_pool(
+        x, (window, window), strides=(stride, stride), padding=padding
+    )
 
 
 def max_pool(x, window, stride=None, padding="VALID"):

@@ -395,6 +395,8 @@ def fit(
     verbose: bool = True,
     mesh=None,
     log_fn=None,
+    profile_dir: str | None = None,
+    profile_steps=(10, 30),
 ):
     """Epoch loop with schedule driving, validation, and snapshotting.
 
@@ -426,6 +428,16 @@ def fit(
             rng = jax.random.fold_in(base_key, int(state.step))
             if mesh is not None:
                 raw = shard_batch(mesh, raw)
+            if profile_dir is not None:
+                # Device-level trace of a window of steady-state steps
+                # (jax.profiler; view with tensorboard or xprof).
+                if int(state.step) == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                elif int(state.step) == profile_steps[1]:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    print(f"Wrote device trace to {profile_dir}", flush=True)
+                    profile_dir = None
             state, metrics = train_step(state, raw, lr, rng)
             n_batches += 1
             if verbose and n_batches % 50 == 0:

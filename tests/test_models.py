@@ -169,6 +169,24 @@ def test_selu_suffix():
     assert spec.module.activation == "selu"
 
 
+def test_nasnet_a():
+    from semantic_embeddings_tpu.models.nasnet import NASNetA
+
+    spec = build_network(1000, "nasnet-a", classification=True)
+    variables = _shape_init(spec.module, (1, 224, 224, 3))
+    n = _param_count(variables)
+    assert 86e6 < n < 92e6  # NASNetLarge ~88.9M
+    tiny = NASNetA(classes=5, num_normal_cells=1, penultimate_filters=24 * 4,
+                   stem_filters=8, top_activation=None)
+    import jax
+
+    v = tiny.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                  train=False)
+    out = tiny.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_architecture_list_matches_reference():
     assert ARCHITECTURES[:5] == [
         "simple",
