@@ -20,11 +20,20 @@ from semantic_embeddings_tpu.hierarchy import ClassHierarchy, semantic_distance_
 
 
 def _random_tree_similarity(rng, n=40):
-    """Similarity matrix of a random tree's leaf set (guaranteed PD)."""
+    """Similarity matrix of a random tree's leaf set (guaranteed PD).
+
+    Uses its own fixed-seed generator so results don't depend on test order,
+    and grows the tree until at least ``n`` leaves exist.
+    """
+    rng = np.random.default_rng(12345 + n)
     parents, children = {}, {}
     next_id = 1
     frontier = [0]
-    while next_id < n * 2:
+
+    def leaves():
+        return [i for i in range(next_id) if not children.get(i)]
+
+    while next_id < n * 2 or len(leaves()) < n:
         p = frontier[rng.integers(len(frontier))]
         c = next_id
         next_id += 1
@@ -32,8 +41,8 @@ def _random_tree_similarity(rng, n=40):
         children.setdefault(p, []).append(c)
         frontier.append(c)
     h = ClassHierarchy(parents, children)
-    leaves = sorted(h.leaves())[:n]
-    return 1.0 - semantic_distance_matrix(h, leaves)
+    chosen = sorted(h.leaves())[:n]
+    return 1.0 - semantic_distance_matrix(h, chosen)
 
 
 def test_unitsphere_golden_cifar(reference_dir):
