@@ -37,6 +37,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
 
     from semantic_embeddings_tpu.data import SyntheticDataset
     from semantic_embeddings_tpu.models import EmbeddingModel, build_network
@@ -62,8 +63,12 @@ def main():
     import os
 
     fused = os.environ.get("BENCH_FUSED_LOSS") == "1"
+    # bfloat16 compute with float32 params/stats — the TPU-native precision
+    # (disable with BENCH_F32=1).  Batch 256 is the measured sweet spot on
+    # v5e for this 32x32 workload (512/1024 are slower).
+    dtype = None if os.environ.get("BENCH_F32") == "1" else jnp.bfloat16
     dataset = SyntheticDataset(num_classes=100, n_train=BATCH * 8, n_test=BATCH)
-    spec = build_network(embedding.shape[1], "resnet-110-wfc")
+    spec = build_network(embedding.shape[1], "resnet-110-wfc", dtype=dtype)
     # With the fused Pallas cosine kernel the model emits raw embeddings and
     # the kernel owns normalization; otherwise the l2norm output head is used
     # and XLA fuses normalize+dot into the graph.
@@ -71,9 +76,8 @@ def main():
         backbone=spec.module,
         output="linear" if fused else "l2norm",
         cls_classes=100,
+        dtype=dtype,
     )
-
-    import jax.numpy as jnp
 
     variables = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, 32, 32, 3)), train=False)

@@ -53,6 +53,8 @@ def build_parser():
     group.add_argument("--clipgrad", type=float, default=10.0)
     group.add_argument("--max_decay", type=float, default=0.0)
     group.add_argument("--nesterov", action="store_true", default=False)
+    group.add_argument("--bf16", action="store_true", default=False,
+                       help="bfloat16 compute (float32 params).")
     group.add_argument("--epochs", type=int, default=None)
     group.add_argument("--batch_size", type=int, default=100)
     group.add_argument("--val_batch_size", type=int, default=None)
@@ -99,8 +101,11 @@ def main(argv=None):
         dataset.read_workers = args.read_workers
 
     mesh = common.resolve_mesh(args.gpus)
+    import jax.numpy as jnp
+
     spec = build_network(
-        dataset.num_classes, args.architecture, classification=True
+        dataset.num_classes, args.architecture, classification=True,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
     model = spec.module
 

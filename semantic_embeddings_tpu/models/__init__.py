@@ -222,10 +222,22 @@ def build_network(
     raise ValueError(f"Unknown network architecture: {architecture}")
 
 
+def get_custom_objects(architecture):
+    """Interface-parity stub for ``/root/reference/utils.py:279-285``.
+
+    Keras needed a custom-layer registry (``ChannelPadding``) to deserialize
+    saved models; Flax checkpoints are plain parameter trees rebuilt from
+    the architecture name, so there is nothing to register.
+    """
+    del architecture
+    return {}
+
+
 __all__ = [
     "ARCHITECTURES",
     "ModelSpec",
     "build_network",
+    "get_custom_objects",
     "EmbeddingModel",
     "l2norm",
     "PlainNet",

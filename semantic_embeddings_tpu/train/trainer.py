@@ -137,7 +137,11 @@ def make_train_step(
             metrics["emb_loss"] = e_l
             metrics["loss"] = total
             if metric_fn is not None:
-                metrics["emb_acc"] = metric_fn(targets, emb_out).mean()
+                if isinstance(metric_fn, dict):
+                    for mname, fn in metric_fn.items():
+                        metrics[mname] = fn(targets, emb_out).mean()
+                else:
+                    metrics["emb_acc"] = metric_fn(targets, emb_out).mean()
             return total, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -232,7 +236,13 @@ def make_eval_step(
             emb_out = out
         metrics["emb_loss"] = (emb_loss(targets, emb_out) * mask).sum()
         if metric_fn is not None:
-            metrics["emb_correct"] = (metric_fn(targets, emb_out) * mask).sum()
+            if isinstance(metric_fn, dict):
+                for mname, fn in metric_fn.items():
+                    metrics[f"{mname}_correct"] = (
+                        fn(targets, emb_out) * mask
+                    ).sum()
+            else:
+                metrics["emb_correct"] = (metric_fn(targets, emb_out) * mask).sum()
         metrics["count"] = mask.sum()
         return metrics
 

@@ -1,0 +1,93 @@
+"""End-to-end CLI integration on synthetic data (slow)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def cifar_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cifar100")
+    rng = np.random.default_rng(0)
+
+    def write(name, n):
+        y = (np.arange(n) % 100).tolist()
+        base = np.asarray(y)[:, None] * 2
+        data = np.clip(
+            rng.integers(0, 100, (n, 3072)) + base, 0, 255
+        ).astype(np.uint8)
+        with open(root / name, "wb") as f:
+            pickle.dump({b"data": data, b"fine_labels": y}, f)
+
+    write("train", 600)
+    write("test", 200)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def embedding_pickle(reference_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("emb") / "emb.pickle")
+    from semantic_embeddings_tpu.cli.compute_class_embedding import main
+
+    main([
+        "--hierarchy",
+        os.path.join(reference_dir, "Cifar-Hierarchy", "cifar.parent-child.txt"),
+        "--out", out, "--method", "unitsphere",
+    ])
+    return out
+
+
+def test_full_pipeline(cifar_root, embedding_pickle, tmp_path):
+    feat = str(tmp_path / "feat.pickle")
+    snap = str(tmp_path / "snap.ckpt")
+    log_dir = str(tmp_path / "logs")
+
+    from semantic_embeddings_tpu.cli.learn_image_embeddings import main as learn
+
+    learn([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--embedding", embedding_pickle, "--architecture", "simple",
+        "--loss", "inv_corr", "--cls_weight", "0.1",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.02,2",
+        "--batch_size", "100", "--feature_dump", feat,
+        "--snapshot", snap, "--log_dir", log_dir, "--no_progress",
+    ])
+    assert os.path.exists(feat)
+    assert os.path.exists(snap)
+    lines = open(os.path.join(log_dir, "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 2
+    assert "emb_loss" in json.loads(lines[0])
+
+    with open(feat, "rb") as f:
+        dump = pickle.load(f)
+    assert len(dump["feat"]) == 200
+    np.testing.assert_allclose(
+        np.linalg.norm(dump["feat"][0]), 1.0, rtol=1e-5
+    )
+
+    # Resume from snapshot for one more epoch.
+    learn([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--embedding", embedding_pickle, "--architecture", "simple",
+        "--loss", "inv_corr", "--cls_weight", "0.1",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.02,3",
+        "--batch_size", "100", "--snapshot", snap,
+        "--initial_epoch", "2", "--no_progress",
+    ])
+
+    # Retrieval evaluation over the dumped features.
+    from semantic_embeddings_tpu.cli.evaluate_retrieval import main as evaluate
+
+    perf = evaluate([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--hierarchy", "/root/reference/Cifar-Hierarchy/cifar.parent-child.txt",
+        "--feat", feat, "--plot_max", "50",
+    ])
+    metrics = next(iter(perf.values()))
+    assert 0.0 < metrics["P@1 (LCS_HEIGHT)"] <= 1.0
+    assert 0.0 < metrics["AHP (WUP)"] <= 1.0
