@@ -47,6 +47,68 @@ def _class_ancestor_arrays(hierarchy, classes):
     return mask, dist, anc_nodes
 
 
+def pairwise_matrices_device(hierarchy, classes, dtype=np.float64):
+    """Device (TPU) variant of :func:`pairwise_matrices` for large trees.
+
+    Key identity: in a (single-root) tree the common ancestors of two nodes
+    are exactly the chain root..LCS, so ``depth(LCS) = |anc(i) & anc(j)| =
+    (M @ M.T)[i, j]`` with M the boolean ancestor matrix — the whole
+    LCS-depth matrix is ONE MXU GEMM.  Heights then come from a per-class
+    ancestor-chain table gathered at that depth.  DAGs fall back to the
+    host grouped-GEMM path.
+    """
+    if not hierarchy.is_tree():
+        return pairwise_matrices(hierarchy, classes, dtype=dtype)
+
+    import jax
+    import jax.numpy as jnp
+
+    mask, _, anc_nodes = _class_ancestor_arrays(hierarchy, classes)
+    node_depth = hierarchy._depth_max_arr[anc_nodes].astype(np.int32)
+    node_height = hierarchy._height_arr[anc_nodes].astype(np.int32)
+    max_height = hierarchy.max_height
+    n, u = mask.shape
+
+    # Per-class ancestor chain ordered by depth: chain_height[i, d-1] =
+    # height of class i's ancestor at depth d.
+    max_depth = int(node_depth.max())
+    chain_height = np.zeros((n, max_depth), dtype=np.float32)
+    for i in range(n):
+        cols = np.flatnonzero(mask[i])
+        chain_height[i, node_depth[cols] - 1] = node_height[cols]
+
+    class_depth = hierarchy._depth_max_arr[
+        [hierarchy._node_index[c] for c in classes]
+    ].astype(np.float32)
+
+    @jax.jit
+    def compute(maskf, chain_h, cdepth):
+        counts = jnp.dot(maskf, maskf.T, preferred_element_type=jnp.float32)
+        lcs_depth = counts  # tree identity: |common ancestors| = depth(LCS)
+        idx = jnp.clip(lcs_depth.astype(jnp.int32) - 1, 0, chain_h.shape[1] - 1)
+        # heights[i, j] = chain_h[i, idx[i, j]] (the LCS lies on both chains)
+        heights = jnp.take_along_axis(chain_h, idx, axis=1)
+        lcs_h = heights / max_height
+        wup = (2.0 * lcs_depth) / (cdepth[:, None] + cdepth[None, :])
+        return lcs_h, wup, counts
+
+    lcs_h, wup, counts = compute(
+        jnp.asarray(mask.astype(np.float32)),
+        jnp.asarray(chain_height),
+        jnp.asarray(class_depth),
+    )
+    counts = np.asarray(counts)
+    if counts.min() < 1:
+        raise ValueError(
+            "Some class pairs share no common hypernym; the hierarchy has "
+            "multiple disconnected roots covering the requested classes."
+        )
+    return {
+        "lcs_height": np.asarray(lcs_h, dtype=dtype),
+        "wup": np.asarray(wup, dtype=dtype),
+    }
+
+
 def pairwise_matrices(hierarchy, classes, compute_wup=True, dtype=np.float64):
     """Computes dense pairwise semantic matrices for a list of class labels.
 

@@ -91,6 +91,18 @@ def test_semantic_distance_matrix_symmetry(cifar_hierarchy):
     assert dist.max() <= 1.0
 
 
+def test_device_pairwise_matches_host(cifar_hierarchy):
+    from semantic_embeddings_tpu.hierarchy.vectorized import (
+        pairwise_matrices_device,
+    )
+
+    leaves = sorted(cifar_hierarchy.leaves())
+    host = pairwise_matrices(cifar_hierarchy, leaves)
+    dev = pairwise_matrices_device(cifar_hierarchy, leaves)
+    assert np.allclose(host["lcs_height"], dev["lcs_height"])
+    assert np.allclose(host["wup"], dev["wup"])
+
+
 def test_cub_wikispecies_golden(reference_dir):
     h = ClassHierarchy.from_file(
         os.path.join(
