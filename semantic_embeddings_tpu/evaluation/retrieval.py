@@ -50,18 +50,39 @@ def _ranking_fn(normalize):
 
 
 def pairwise_ranking_blocks(features, normalize=False, block_size=1024,
-                            pin_self_first=True):
+                            pin_self_first=True, mesh=None):
     """Yields ``(start, ranking_block)`` with the query pinned to rank 0.
 
     ``features``: (N, d) array.  The database stays resident on device; each
-    block is one MXU GEMM + device sort.
+    block is one MXU GEMM + device sort.  With a ``mesh``, the database is
+    replicated and each query block is sharded on the ``data`` axis, so the
+    per-row GEMM + sort fan out across chips with no collectives.
     """
     feats = np.asarray(features, dtype=np.float32)
     if normalize:
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    n = feats.shape[0]
+    if mesh is not None:
+        import jax
+
+        from ..parallel import batch_sharding, replicated
+
+        n_dev = mesh.devices.size
+        block_size = max(block_size, n_dev)
+        block_size += (-block_size) % n_dev  # divisible by the mesh size
+        database = jax.device_put(jnp.asarray(feats), replicated(mesh))
+        q_shard = batch_sharding(mesh)
+        rank = _ranking_fn(normalize)
+        for start in range(0, n, block_size):
+            stop = min(start + block_size, n)
+            # pad the tail block so its leading axis stays shardable
+            idx = np.minimum(np.arange(start, start + block_size), n - 1)
+            queries = jax.device_put(jnp.asarray(feats[idx]), q_shard)
+            block = rank(queries, database, jnp.asarray(idx))
+            yield start, np.asarray(block)[: stop - start]
+        return
     database = jnp.asarray(feats)
     rank = _ranking_fn(normalize)
-    n = feats.shape[0]
     for start in range(0, n, block_size):
         stop = min(start + block_size, n)
         q_index = jnp.arange(start, stop)
@@ -100,6 +121,7 @@ def evaluate_retrieval_features(
     compute_ap=True,
     normalize=False,
     block_size=1024,
+    mesh=None,
 ):
     """Full device-path evaluation: features -> hierarchical metrics.
 
@@ -118,7 +140,7 @@ def evaluate_retrieval_features(
     )
     accum = {name: [] for name in evaluator.metric_names}
     for start, block in pairwise_ranking_blocks(
-        feats, normalize, block_size, pin_self_first=True
+        feats, normalize, block_size, pin_self_first=True, mesh=mesh
     ):
         b = block.shape[0]
         q_cls = db_classes[start : start + b]

@@ -81,6 +81,30 @@ def test_eval_step_sharded(setup):
     assert float(metrics["count"]) == 32.0
 
 
+def test_sharded_retrieval_matches_single(setup):
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy(
+        {"a": ["r"], "b": ["r"], "c": ["s"], "d": ["s"], "r": ["t"], "s": ["t"]},
+        {"t": ["r", "s"], "r": ["a", "b"], "s": ["c", "d"]},
+    )
+    rng = np.random.default_rng(5)
+    labels = [["a", "b", "c", "d"][i % 4] for i in range(60)]
+    feats = rng.normal(size=(60, 8)).astype(np.float32)
+    single, _ = evaluate_retrieval_features(
+        feats, labels, h, ks=[1, 5], normalize=True, block_size=17
+    )
+    mesh = get_mesh(8)
+    sharded, _ = evaluate_retrieval_features(
+        feats, labels, h, ks=[1, 5], normalize=True, block_size=17, mesh=mesh
+    )
+    for name in single:
+        assert single[name] == pytest.approx(sharded[name], abs=1e-6), name
+
+
 def test_graft_dryrun():
     import __graft_entry__
 
