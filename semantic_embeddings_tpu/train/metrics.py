@@ -1,15 +1,19 @@
 """Training-time metrics: embedding-space nearest-neighbor accuracy, top-k.
 
-Semantics match ``/root/reference/utils.py:49-100``: a prediction counts as
-correct when its distance (or dot-product similarity) to the *target* class
-embedding is within 1e-6 of the best over all class embeddings.
+Semantics follow ``/root/reference/utils.py:49-100``: a prediction is
+correct when the nearest class embedding (min Euclidean distance or max dot
+product) is the target's.  The reference detects this by comparing the best
+distance against the recomputed target distance within 1e-6 — which breaks
+on TPU where the class-similarity matmul and the per-sample reduction round
+differently.  Here the target's *index* is recovered by nearest-embedding
+lookup of the target vector itself (exact, since it is a row of the class
+matrix), making the comparison tolerance-free; ties resolve by argmax order
+instead of counting as correct.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-_TOL = 1e-6
 
 
 def nn_accuracy(embedding, dot_prod_sim=False, k=1):
@@ -20,37 +24,28 @@ def nn_accuracy(embedding, dot_prod_sim=False, k=1):
     instead of min Euclidean distance.
     """
     embedding = jnp.asarray(embedding, dtype=jnp.float32)
+    cent_norm = jnp.sum(jnp.square(embedding), axis=1)
 
-    def euclidean(y_true, y_pred):
-        cent_norm = jnp.sum(jnp.square(embedding), axis=1)
-        dist = (
-            jnp.sum(jnp.square(y_pred), axis=1, keepdims=True)
-            + cent_norm[None, :]
-            - 2.0 * (y_pred @ embedding.T)
-        )
-        true_dist = jnp.sum(jnp.square(y_pred - y_true), axis=-1)
+    def scores(y):
+        """Higher = closer, shape (B, n_classes)."""
+        sim = y @ embedding.T
+        if dot_prod_sim:
+            return sim
+        return 2.0 * sim - cent_norm[None, :]  # = -(dist^2) + const(y)
+
+    def metric(y_true, y_pred):
+        s_pred = scores(y_pred.astype(jnp.float32))
+        # The target is an exact row of `embedding`; its nearest class
+        # under the same scoring recovers its index.
+        label_idx = jnp.argmax(scores(y_true.astype(jnp.float32)), axis=-1)
         if k <= 1:
-            return (jnp.abs(true_dist - jnp.min(dist, axis=-1)) < _TOL).astype(
+            return (jnp.argmax(s_pred, axis=-1) == label_idx).astype(
                 jnp.float32
             )
-        kth = jnp.sort(dist, axis=-1)[:, :k]  # k smallest distances
-        return jnp.any(jnp.abs(kth - true_dist[:, None]) < _TOL, axis=-1).astype(
-            jnp.float32
-        )
+        topk = jnp.argsort(-s_pred, axis=-1)[:, :k]
+        return jnp.any(topk == label_idx[:, None], axis=-1).astype(jnp.float32)
 
-    def dot_product(y_true, y_pred):
-        sim = y_pred @ embedding.T
-        true_sim = jnp.sum(y_pred * y_true, axis=-1)
-        if k <= 1:
-            return (jnp.abs(jnp.max(sim, axis=-1) - true_sim) < _TOL).astype(
-                jnp.float32
-            )
-        topk = -jnp.sort(-sim, axis=-1)[:, :k]
-        return jnp.any(jnp.abs(topk - true_sim[:, None]) < _TOL, axis=-1).astype(
-            jnp.float32
-        )
-
-    return dot_product if dot_prod_sim else euclidean
+    return metric
 
 
 def top_k_categorical_accuracy(y_true_onehot, probs, k=5):
