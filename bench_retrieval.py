@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Retrieval-evaluation benchmark: queries/sec for the device pipeline.
+
+Secondary benchmark (the driver runs ``bench.py``): measures the full
+hierarchical-precision evaluation throughput — blockwise MXU GEMM + on-device
+ranking + streamed HP metrics — over a CIFAR-100-test-sized database
+(10,000 x 100 features, real taxonomy), the workload of
+``evaluate_retrieval.py``.  The reference computes the same thing as a host
+numexpr N x N matrix + full argsort + a per-query Python loop
+(``/root/reference/evaluate_retrieval.py:56-67``, ``class_hierarchy.py:
+254-316``).  Prints one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy.from_file(
+        "/root/reference/Cifar-Hierarchy/cifar.parent-child.txt", id_type=int
+    )
+    n, d = 10_000, 100
+    rng = np.random.default_rng(0)
+    labels = [i % 100 for i in range(n)]
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    for i, l in enumerate(labels):
+        feats[i, l] += 2.0
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+
+    # Warm-up (compile)
+    evaluate_retrieval_features(
+        feats[:2048], labels[:2048], h, ks=[1, 10, 50, 100],
+        compute_ahp=250, compute_ap=True, normalize=True, block_size=2048,
+    )
+    t0 = time.perf_counter()
+    means, _ = evaluate_retrieval_features(
+        feats, labels, h, ks=[1, 10, 50, 100],
+        compute_ahp=250, compute_ap=True, normalize=True, block_size=2048,
+    )
+    elapsed = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "retrieval_eval_queries_per_sec_cifar100_test_size",
+                "value": round(n / elapsed, 1),
+                "unit": "queries/sec",
+                "mAHP@250": round(means["AHP@250 (LCS_HEIGHT)"], 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,6 @@ counterpart (flag names are part of the public API per BASELINE.json).
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import pickle
@@ -15,12 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import get_data_generator
 from ..embeddings import save_features
-from ..models import ARCHITECTURES, EmbeddingModel, build_network
+from ..models import EmbeddingModel, build_network
 from ..parallel import get_mesh
 from ..train import LOSS_OUTPUT, new_train_state
-from ..train.schedules import LR_SCHEDULES
 
 
 def add_lr_schedule_arguments(parser):

@@ -21,7 +21,6 @@ from ..train import (
     load_weights_by_name,
     make_classifier_eval_step,
     make_classifier_train_step,
-    new_train_state,
     run_validation,
 )
 from ..train.metrics import balanced_accuracy

@@ -8,7 +8,6 @@ training (linear layer only, then full fine-tune).
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import numpy as np

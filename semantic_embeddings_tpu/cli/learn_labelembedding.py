@@ -6,7 +6,6 @@ Flag surface mirrors ``/root/reference/learn_labelembedding.py:65-99``.
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Pipeline split (vs. the reference's all-host multiprocessing workers,
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor

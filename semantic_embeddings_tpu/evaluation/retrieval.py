@@ -112,6 +112,74 @@ def pairwise_retrieval(features, normalize=False, return_generator=True):
     return gen() if return_generator else dict(gen())
 
 
+def _device_metric_fn(evaluator, normalize, n_items):
+    """One jitted call: query block -> ranking -> HP/AHP/AP scalars.
+
+    Fuses the GEMM, sort, class gathers, cumulative sums and metric
+    reductions so only per-query scalars leave the device.  Assumes the
+    query is pinned to rank 0 and dropped (ignore_qids semantics with the
+    optimal cumsum cut at rank 0).
+    """
+    import jax
+
+    ks = evaluator.ks
+    compute_ahp = evaluator.compute_ahp
+    compute_ap = evaluator.compute_ap
+    # Per-class optimal cumulative curves with the self result removed:
+    # best[1:] - 1.0 (class_hierarchy.py:294-295 with qid at rank 0).
+    n_cls = evaluator.wup_sim.shape[0]
+    best_w = np.stack(
+        [evaluator._best_cum(c)[0][1:] - 1.0 for c in range(n_cls)]
+    ).astype(np.float32)
+    best_l = np.stack(
+        [evaluator._best_cum(c)[1][1:] - 1.0 for c in range(n_cls)]
+    ).astype(np.float32)
+
+    wup_sim = jnp.asarray(evaluator.wup_sim, dtype=jnp.float32)
+    lcs_sim = jnp.asarray(evaluator.lcs_sim, dtype=jnp.float32)
+    best_w = jnp.asarray(best_w)
+    best_l = jnp.asarray(best_l)
+    db_classes = jnp.asarray(evaluator.db_classes, dtype=jnp.int32)
+    rank = _ranking_fn(normalize)
+
+    @jax.jit
+    def block_metrics(queries, database, q_index):
+        order = rank(queries, database, q_index)
+        ranked_cls = db_classes[order[:, 1:]]  # self dropped at rank 0
+        q_cls = db_classes[q_index]
+        wup = wup_sim[q_cls[:, None], ranked_cls]
+        lcs = lcs_sim[q_cls[:, None], ranked_cls]
+        bw = best_w[q_cls]
+        bl = best_l[q_cls]
+        cum_w = jnp.cumsum(wup, axis=1)
+        cum_l = jnp.cumsum(lcs, axis=1)
+        out = {}
+        for k in ks:
+            out[f"P@{k} (WUP)"] = cum_w[:, k - 1] / bw[:, k - 1]
+            out[f"P@{k} (LCS_HEIGHT)"] = cum_l[:, k - 1] / bl[:, k - 1]
+        if compute_ahp:
+            m = cum_w.shape[1]
+            kc = m if isinstance(compute_ahp, bool) else min(int(compute_ahp), m)
+            dx = 1.0 / (
+                m if isinstance(compute_ahp, bool) else int(compute_ahp)
+            )
+            suffix = evaluator.ahp_suffix
+            for tag, cum, bst in (("WUP", cum_w, bw), ("LCS_HEIGHT", cum_l, bl)):
+                ratio = cum[:, :kc] / bst[:, :kc]
+                out[f"AHP{suffix} ({tag})"] = dx * (
+                    ratio.sum(axis=1) - (ratio[:, 0] + ratio[:, -1]) / 2
+                )
+        if compute_ap:
+            rel = (ranked_cls == q_cls[:, None]).astype(jnp.float32)
+            cum_rel = jnp.cumsum(rel, axis=1)
+            prec_at = cum_rel / jnp.arange(1, rel.shape[1] + 1)[None, :]
+            n_pos = cum_rel[:, -1]
+            out["AP"] = (prec_at * rel).sum(axis=1) / jnp.maximum(n_pos, 1)
+        return out
+
+    return block_metrics
+
+
 def evaluate_retrieval_features(
     features,
     labels,
@@ -128,6 +196,8 @@ def evaluate_retrieval_features(
     ``labels``: per-item class labels aligned with feature rows.
     Returns ``(means, per_query)`` with the reference's metric names.
     """
+    import jax
+
     ids, feats = load_features(features)
     labels = list(labels)
     classes = list(dict.fromkeys(labels))
@@ -139,15 +209,34 @@ def evaluate_retrieval_features(
         compute_ap=compute_ap, ignore_qids=True,
     )
     accum = {name: [] for name in evaluator.metric_names}
-    for start, block in pairwise_ranking_blocks(
-        feats, normalize, block_size, pin_self_first=True, mesh=mesh
-    ):
-        b = block.shape[0]
-        q_cls = db_classes[start : start + b]
-        q_pos = np.zeros(b, dtype=np.int64)  # query pinned to rank 0
-        result = evaluator.process(q_cls, block, q_pos)
+
+    feats_arr = np.asarray(feats, dtype=np.float32)
+    if normalize:
+        feats_arr = feats_arr / np.linalg.norm(feats_arr, axis=-1, keepdims=True)
+    n = feats_arr.shape[0]
+    block_metrics = _device_metric_fn(evaluator, normalize, n)
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated
+
+        n_dev = mesh.devices.size
+        block_size = max(block_size, n_dev)
+        block_size += (-block_size) % n_dev
+        database = jax.device_put(jnp.asarray(feats_arr), replicated(mesh))
+        q_shard = batch_sharding(mesh)
+    else:
+        database = jnp.asarray(feats_arr)
+        q_shard = None
+    for start in range(0, n, block_size):
+        stop = min(start + block_size, n)
+        idx = np.minimum(np.arange(start, start + block_size), n - 1)
+        queries = jnp.asarray(feats_arr[idx])
+        q_index = jnp.asarray(idx)
+        if q_shard is not None:
+            queries = jax.device_put(queries, q_shard)
+        result = jax.device_get(block_metrics(queries, database, q_index))
+        width = stop - start
         for name, values in result.items():
-            accum[name].append(values)
+            accum[name].append(np.asarray(values, dtype=np.float64)[:width])
 
     per_query_arr = {name: np.concatenate(vals) for name, vals in accum.items()}
     means = {name: float(vals.mean()) for name, vals in per_query_arr.items()}

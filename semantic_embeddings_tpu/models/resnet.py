@@ -10,7 +10,7 @@ four stages of basic or bottleneck residual blocks, GAP, Dense head named
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -19,10 +19,8 @@ TPU-first counterpart of the reference's ``model.compile`` +
 
 from __future__ import annotations
 
-import sys
 import time
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
