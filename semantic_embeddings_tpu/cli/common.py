@@ -91,10 +91,11 @@ def resolve_mesh(gpus):
     return get_mesh(n) if n > 1 else None
 
 
-def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None):
+def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None,
+                          remat=False):
     """Backbone + output transform + optional cls head
     (``learn_image_embeddings.py:125-148``)."""
-    spec = build_network(embed_dim, architecture, dtype=dtype)
+    spec = build_network(embed_dim, architecture, dtype=dtype, remat=remat)
     model = EmbeddingModel(
         backbone=spec.module,
         output=LOSS_OUTPUT[loss],

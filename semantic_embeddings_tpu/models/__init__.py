@@ -94,6 +94,7 @@ def build_network(
     input_channels=None,
     name=None,
     dtype=None,
+    remat=False,
 ):
     """Constructs a CNN backbone by architecture name.
 
@@ -193,7 +194,7 @@ def build_network(
         depth = int(architecture.split("-")[1])
         module = ResNet(
             depth=depth, classes=num_outputs, include_top=True,
-            top_activation=top, dtype=dtype,
+            top_activation=top, remat=remat, dtype=dtype,
         )
         return ModelSpec(architecture, module, [], 224)  # no regularizer in ref
 
@@ -205,7 +206,7 @@ def build_network(
         # behavior of the resnet-50 path.
         module = ResNet(
             depth=depth, classes=num_outputs, include_top=True,
-            top_activation=top, dtype=dtype,
+            top_activation=top, remat=remat, dtype=dtype,
         )
         return ModelSpec(architecture, module, [], 224)
 

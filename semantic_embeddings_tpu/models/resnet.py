@@ -81,6 +81,10 @@ class ResNet(nn.Module):
     classes: int = 1000
     include_top: bool = True
     top_activation: str | None = None
+    #: rematerialize residual blocks in the backward pass — trades ~30%
+    #: extra forward FLOPs for O(depth) less activation memory; needed for
+    #: large inputs (448px CUB/NAB recipes) at training batch sizes.
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -88,6 +92,8 @@ class ResNet(nn.Module):
         blocks = STAGE_BLOCKS[self.depth]
         bottleneck = self.depth >= 50
         block_cls = BottleneckBlock if bottleneck else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         x = conv(64, 7, 2, name="conv0", dtype=self.dtype)(x)
         x = _bn(self.dtype, "bn0")(x, train)
