@@ -80,6 +80,7 @@ def make_train_step(
     donate: bool = False,
     loss_fn_override: Callable | None = None,
     optimizer: str = "sgd",
+    num_classes: int | None = None,
 ):
     """Builds the jitted train step.
 
@@ -102,7 +103,10 @@ def make_train_step(
         if class_embedding is None
         else jnp.asarray(class_embedding, dtype=jnp.float32)
     )
-    num_classes = None if class_embedding is None else class_embedding.shape[0]
+    if num_classes is None:
+        # classification-head width; the dataset's class count can be
+        # smaller than the embedding table (e.g. class-subset training)
+        num_classes = None if class_embedding is None else class_embedding.shape[0]
 
     def step(state: TrainState, raw_batch, lr, rng):
         images, labels = prepare(raw_batch, rng, True)
@@ -189,6 +193,7 @@ def make_eval_step(
     metric_fn: Callable | None = None,
     mesh=None,
     loss_fn_override: Callable | None = None,
+    num_classes: int | None = None,
 ):
     """Validation step: running BN stats, no update; returns summed metrics
     and the batch size so ragged final batches average correctly."""
@@ -201,7 +206,8 @@ def make_eval_step(
         if class_embedding is None
         else jnp.asarray(class_embedding, dtype=jnp.float32)
     )
-    num_classes = None if class_embedding is None else class_embedding.shape[0]
+    if num_classes is None:
+        num_classes = None if class_embedding is None else class_embedding.shape[0]
 
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
