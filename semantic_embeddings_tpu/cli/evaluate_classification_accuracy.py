@@ -77,7 +77,6 @@ def train_and_predict(dataset, model, variables, layer=None, normalize=False,
         augment_train=augmentation_epochs > 1
     )
     sys.stderr.write("Extracting features...\n")
-    x_train_chunks, y_train = [], []
     batches = dataset.train_eval_batches(
         max(batch_size, 10), augment=augmentation_epochs > 1,
         epochs=augmentation_epochs,

@@ -30,24 +30,42 @@ DEFAULT_RANDERASE = {"sl": 0.02, "sh": 0.4, "r1": 0.3, "r2": 1.0 / 0.3}
 
 
 def prefetch(iterator, size=2):
-    """Runs an iterator in a background thread with a bounded queue."""
-    q = queue.Queue(maxsize=size)
+    """Runs an iterator in a background thread with a bounded queue.
+
+    Closing the returned generator early (partial epoch consumption) signals
+    the worker to stop instead of leaving it blocked on a full queue.
+    """
+    q = queue.Queue(maxsize=max(size, 1))
     done = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(done)
+            try:
+                q.put_nowait(done)
+            except queue.Full:
+                pass
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class FileDataset(DatasetBase):

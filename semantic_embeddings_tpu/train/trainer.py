@@ -431,7 +431,6 @@ def fit(
     for epoch in range(initial_epoch, epochs):
         t0 = time.time()
         epoch_lr = schedule.lr(epoch, state.step)
-        running = {}
         n_batches = 0
         for raw in dataset.train_batches(batch_size, epoch, seed):
             if schedule.per_batch:
@@ -454,9 +453,6 @@ def fit(
                     profile_dir = None
             state, metrics = train_step(state, raw, lr, rng)
             n_batches += 1
-            if verbose and n_batches % 50 == 0:
-                metrics = jax.device_get(metrics)
-                running = {k: float(v) for k, v in metrics.items()}
         train_metrics = {
             k: float(v) for k, v in jax.device_get(metrics).items()
         } if n_batches else {}
