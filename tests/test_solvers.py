@@ -61,6 +61,27 @@ def test_unitsphere_golden_cifar(reference_dir):
     assert np.abs(emb - gold["embedding"]).max() < 1e-12
 
 
+@pytest.mark.parametrize(
+    "golden,hier,is_a",
+    [
+        ("cub_balanced.unitsphere.pickle",
+         "CUB-Hierarchy/cub_balanced.parent-child.txt", False),
+        ("cub_flat.unitsphere.pickle",
+         "CUB-Hierarchy/cub_flat.parent-child.txt", False),
+        ("nab.unitsphere.pickle", "NAB-Hierarchy/hierarchy.txt", True),
+    ],
+)
+def test_unitsphere_goldens(reference_dir, golden, hier, is_a):
+    with open(os.path.join(reference_dir, "embeddings", golden), "rb") as f:
+        gold = pickle.load(f)
+    h = ClassHierarchy.from_file(
+        os.path.join(reference_dir, hier), is_a_relations=is_a, id_type=int
+    )
+    dist = semantic_distance_matrix(h, gold["ind2label"])
+    emb = unitsphere_embedding(1.0 - dist)
+    assert np.abs(emb - gold["embedding"]).max() < 1e-12
+
+
 def test_unitsphere_properties(rng):
     sim = _random_tree_similarity(rng)
     emb = unitsphere_embedding(sim)
