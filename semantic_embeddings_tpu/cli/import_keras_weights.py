@@ -1,0 +1,227 @@
+"""CLI: import reference Keras ``.h5`` weights into framework checkpoints.
+
+The reference publishes trained Keras models (``README.md:327-338``); this
+tool reads the Keras HDF5 weight layout (both full-model saves with a
+``model_weights`` group and ``save_weights`` files) and maps layer names to
+this framework's parameter tree for the supported families:
+
+- ``simple`` (PlainNet): ``conv{i}/bn{i}/fc{i}`` -> same names, final dense
+  (``embedding``/``prob``) -> ``top``.
+- ``resnet-32/110/-fc/-wfc`` (SmallResNet): ``conv0/bn0``,
+  ``res{s}-{b}x|y|z`` / ``bn{s}-{b}x|y|z`` -> ``stage{s}_block{b}/
+  conv_a|conv_b|conv_sc`` (+BNs), ``embedding``/``prob`` -> ``top``.
+- ``resnet-50`` (keras-applications v1): ``conv1/bn_conv1``,
+  ``res{S}{L}_branch2a|2b|2c|1`` -> ``stage{S-1}_block{idx}/
+  conv_a|conv_b|conv_c|conv_sc``.
+- the trainer's classification head: ``prob`` -> ``cls_top``, its
+  preceding BatchNorm -> ``cls_bn``.
+
+Weight conventions transfer directly (Keras Conv kernels are HWIO like
+flax NHWC; BN weights are [gamma, beta, moving_mean, moving_variance]).
+
+    python import_keras_weights.py --h5 model.h5 --architecture resnet-110-wfc \
+        --embed_dim 100 [--cls_classes 100] --out weights.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+
+import numpy as np
+
+
+def read_keras_h5(path):
+    """Returns ``{layer_name: [arrays...]}`` in Keras weight order."""
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        group = f["model_weights"] if "model_weights" in f else f
+        layer_names = [
+            n.decode() if isinstance(n, bytes) else n
+            for n in group.attrs.get("layer_names", list(group.keys()))
+        ]
+        for lname in layer_names:
+            g = group[lname]
+            weight_names = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in g.attrs.get("weight_names", [])
+            ]
+            if not weight_names:
+                continue
+            out[lname] = [np.array(g[w]) for w in weight_names]
+    return out
+
+
+def _assign(tree, path, leaf_name, value):
+    node = tree
+    for part in path:
+        node = node.setdefault(part, {})
+    node[leaf_name] = value
+
+
+def _put_conv(params, path, weights):
+    _assign(params, path, "kernel", weights[0])
+    if len(weights) > 1:
+        _assign(params, path, "bias", weights[1])
+
+
+def _put_bn(params, batch_stats, path, weights):
+    gamma, beta, mean, var = weights
+    bn_path = list(path) + ["BatchNorm_0"]
+    _assign(params, bn_path, "scale", gamma)
+    _assign(params, bn_path, "bias", beta)
+    _assign(batch_stats, bn_path, "mean", mean)
+    _assign(batch_stats, bn_path, "var", var)
+
+
+def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"):
+    """Maps Keras layer weights into (params, batch_stats) nested dicts."""
+    params, batch_stats = {}, {}
+
+    def bpath(*parts):
+        return ([backbone_key] if backbone_key else []) + list(parts)
+
+    consumed = set()
+
+    def take(name):
+        consumed.add(name)
+        return layers[name]
+
+    for name in list(layers.keys()):
+        m_small_conv = re.fullmatch(r"res(\d+)-(\d+)([xyz])", name)
+        m_small_bn = re.fullmatch(r"bn(\d+)-(\d+)([xyz])", name)
+        m_rn50_conv = re.fullmatch(r"res(\d)([a-z])_branch(2a|2b|2c|1)", name)
+        m_rn50_bn = re.fullmatch(r"bn(\d)([a-z])_branch(2a|2b|2c|1)", name)
+
+        if architecture.startswith("resnet-") and m_small_conv:
+            s, b, which = m_small_conv.groups()
+            sub = {"x": "conv_a", "y": "conv_b", "z": "conv_sc"}[which]
+            _put_conv(params, bpath(f"stage{s}_block{b}", sub), take(name))
+        elif architecture.startswith("resnet-") and m_small_bn:
+            s, b, which = m_small_bn.groups()
+            sub = {"x": "bn_a", "y": "bn_b", "z": "bn_sc"}[which]
+            _put_bn(params, batch_stats,
+                    bpath(f"stage{s}_block{b}", sub), take(name))
+        elif architecture == "resnet-50" and m_rn50_conv:
+            stage, letter, branch = m_rn50_conv.groups()
+            block = ord(letter) - ord("a") + 1
+            sub = {"2a": "conv_a", "2b": "conv_b", "2c": "conv_c",
+                   "1": "conv_sc"}[branch]
+            _put_conv(
+                params,
+                bpath(f"stage{int(stage) - 1}_block{block}", sub), take(name),
+            )
+        elif architecture == "resnet-50" and m_rn50_bn:
+            stage, letter, branch = m_rn50_bn.groups()
+            block = ord(letter) - ord("a") + 1
+            sub = {"2a": "bn_a", "2b": "bn_b", "2c": "bn_c",
+                   "1": "bn_sc"}[branch]
+            _put_bn(
+                params, batch_stats,
+                bpath(f"stage{int(stage) - 1}_block{block}", sub), take(name),
+            )
+        elif name in ("conv0",) or (architecture == "resnet-50" and name == "conv1"):
+            _put_conv(params, bpath("conv0"), take(name))
+        elif name in ("bn0",) or (architecture == "resnet-50" and name == "bn_conv1"):
+            _put_bn(params, batch_stats, bpath("bn0"), take(name))
+        elif name in ("embedding",):
+            _put_conv(params, bpath("top"), take(name))
+        elif name == "prob":
+            if has_cls_head:
+                _put_conv(params, ["cls_top"], take(name))
+            else:
+                _put_conv(params, bpath("top"), take(name))
+        elif re.fullmatch(r"(conv|bn|fc)\d+", name) and architecture == "simple":
+            kind = re.match(r"[a-z]+", name).group()
+            if kind == "bn":
+                _put_bn(params, batch_stats, bpath(name), take(name))
+            else:
+                _put_conv(params, bpath(name), take(name))
+        elif re.fullmatch(r"batch_normalization(_\d+)?", name) and has_cls_head:
+            _put_bn(params, batch_stats, ["cls_bn"], take(name))
+
+    skipped = sorted(set(layers) - consumed)
+    return params, batch_stats, skipped
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Imports reference Keras .h5 weights into a framework "
+                    "checkpoint.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--h5", type=str, required=True,
+                        help="Keras model or weights HDF5 file.")
+    parser.add_argument("--architecture", type=str, required=True)
+    parser.add_argument("--embed_dim", type=int, required=True,
+                        help="Embedding dimensionality the model was "
+                             "trained with.")
+    parser.add_argument("--loss", type=str, default="inv_corr")
+    parser.add_argument("--cls_classes", type=int, default=0,
+                        help="Classification-head width (0: no head).")
+    parser.add_argument("--out", type=str, required=True,
+                        help="Output checkpoint path (model dump format).")
+    return parser
+
+
+def main(argv=None):
+    import jax
+
+    from ..models import EmbeddingModel, build_network
+    from ..train import new_train_state
+    from ..train.state import save_checkpoint
+    from . import common
+
+    args = build_parser().parse_args(argv)
+    layers = read_keras_h5(args.h5)
+    params, batch_stats, skipped = map_layers(
+        layers, args.architecture, has_cls_head=args.cls_classes > 0
+    )
+    if skipped:
+        print(f"Skipped unmapped layers: {skipped}")
+
+    model, spec = common.build_embedding_model(
+        args.embed_dim, args.architecture, args.loss, args.cls_classes
+    )
+    state = common.init_model_state(model, spec.input_size, 3)
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for key, val in src.items():
+            if key not in dst:
+                raise KeyError(f"No parameter {path}/{key} in the model")
+            if isinstance(val, dict):
+                out[key] = merge(dst[key], val, f"{path}/{key}")
+            else:
+                expect = np.asarray(dst[key]).shape
+                if tuple(val.shape) != tuple(expect):
+                    raise ValueError(
+                        f"Shape mismatch at {path}/{key}: h5 {val.shape} vs "
+                        f"model {expect}"
+                    )
+                out[key] = val.astype(np.asarray(dst[key]).dtype)
+        return out
+
+    import flax
+
+    new_params = merge(flax.core.unfreeze(state.params), params)
+    new_bs = merge(flax.core.unfreeze(state.batch_stats), batch_stats)
+    state = state.replace(params=new_params, batch_stats=new_bs)
+    save_checkpoint(
+        args.out, state,
+        {
+            "architecture": args.architecture,
+            "embed_dim": args.embed_dim,
+            "loss": args.loss,
+            "cls_classes": args.cls_classes,
+            "imported_from": args.h5,
+        },
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"Imported {n} parameters into {args.out}")
+
+
+if __name__ == "__main__":
+    main()
