@@ -92,7 +92,7 @@ def resolve_mesh(gpus):
 
 
 def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None,
-                          remat=False):
+                          remat=False, cls_input="output"):
     """Backbone + output transform + optional cls head
     (``learn_image_embeddings.py:125-148``)."""
     spec = build_network(embed_dim, architecture, dtype=dtype, remat=remat)
@@ -100,6 +100,7 @@ def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None
         backbone=spec.module,
         output=LOSS_OUTPUT[loss],
         cls_classes=cls_classes,
+        cls_input=cls_input,
         dtype=dtype,
     )
     return model, spec

@@ -28,18 +28,22 @@ class EmbeddingModel(nn.Module):
     """Backbone + output transform + optional softmax classification head.
 
     Returns the transformed embedding, or ``(embedding, prob)`` when a
-    classification head is attached (``cls_classes > 0``).
+    classification head is attached (``cls_classes > 0``).  The head consumes
+    the *transformed* output (the reference attaches it after the l2norm /
+    softmax layer, ``learn_image_embeddings.py:127-132`` + ``:16-45``);
+    ``cls_input='l2norm'`` reproduces that when ``output='linear'`` is used
+    so the fused Pallas cosine loss can consume raw embeddings.
     """
 
     backbone: nn.Module
     output: str = "linear"  # 'linear' | 'l2norm' | 'softmax'
     cls_classes: int = 0
+    cls_input: str = "output"  # 'output' | 'l2norm'
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         emb = self.backbone(x, train=train)
-        base = emb
         if self.output == "l2norm":
             emb = l2norm(emb.astype(jnp.float32))
             self.sow("intermediates", "l2norm", emb)
@@ -48,7 +52,12 @@ class EmbeddingModel(nn.Module):
             self.sow("intermediates", "softmax", emb)
 
         if self.cls_classes > 0:
-            y = nn.relu(base)
+            head_in = (
+                l2norm(emb.astype(jnp.float32))
+                if self.cls_input == "l2norm"
+                else emb
+            )
+            y = nn.relu(head_in)
             y = KerasBatchNorm(dtype=self.dtype, name="cls_bn")(y, train)
             y = dense(self.cls_classes, name="cls_top", dtype=self.dtype)(y)
             prob = nn.softmax(y.astype(jnp.float32))

@@ -125,6 +125,29 @@ def test_embedding_model_l2norm_and_cls_head():
     np.testing.assert_allclose(np.asarray(prob).sum(axis=1), 1.0, rtol=1e-5)
 
 
+def test_cls_head_sees_normalized_embedding():
+    """Reference parity: the cls head attaches AFTER the l2norm layer; the
+    fused-loss training model (raw output + cls_input='l2norm') must produce
+    identical probabilities with shared params."""
+    spec = build_network(16, "simple")
+    m_norm = EmbeddingModel(backbone=spec.module, output="l2norm",
+                            cls_classes=5)
+    m_fused = EmbeddingModel(backbone=spec.module, output="linear",
+                             cls_classes=5, cls_input="l2norm")
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    )
+    variables = m_norm.init(jax.random.PRNGKey(0), x, train=False)
+    emb_n, prob_n = m_norm.apply(variables, x, train=False)
+    emb_f, prob_f = m_fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(prob_n), np.asarray(prob_f),
+                               rtol=1e-6)
+    # raw vs normalized outputs differ, but normalize(raw) == normalized
+    np.testing.assert_allclose(
+        np.asarray(l2norm(emb_f)), np.asarray(emb_n), rtol=1e-5
+    )
+
+
 def test_feature_taps():
     spec = build_network(100, "simple")
     model = EmbeddingModel(backbone=spec.module, output="l2norm")
