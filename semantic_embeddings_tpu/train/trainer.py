@@ -239,6 +239,11 @@ def make_eval_step(
         else:
             emb_out = out
         metrics["emb_loss"] = (emb_loss(targets, emb_out) * mask).sum()
+        # Monitored total: embedding loss + weighted CE, like the reference's
+        # compiled multi-output val_loss (learn_image_embeddings.py:229-232).
+        metrics["total_loss"] = metrics["emb_loss"] + cls_weight * metrics.get(
+            "cls_loss", 0.0
+        )
         if metric_fn is not None:
             if isinstance(metric_fn, dict):
                 for mname, fn in metric_fn.items():
@@ -385,7 +390,8 @@ def run_validation(eval_step, state, batches, rng):
             out[k.replace("_correct", "_acc")] = v / count
         else:
             out[k] = v / count
-    out["val_loss"] = out.get("emb_loss", 0.0)
+    out["val_loss"] = out.get("total_loss", out.get("emb_loss", 0.0))
+    out.pop("total_loss", None)
     if preds:
         out["predictions"] = np.concatenate(preds)
     return out
