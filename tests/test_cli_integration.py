@@ -91,3 +91,36 @@ def test_full_pipeline(cifar_root, embedding_pickle, tmp_path):
     metrics = next(iter(perf.values()))
     assert 0.0 < metrics["P@1 (LCS_HEIGHT)"] <= 1.0
     assert 0.0 < metrics["AHP (WUP)"] <= 1.0
+
+
+def test_classification_accuracy_modes(cifar_root, embedding_pickle, tmp_path):
+    model_dump = str(tmp_path / "model.ckpt")
+    from semantic_embeddings_tpu.cli.learn_image_embeddings import main as learn
+
+    learn([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--embedding", embedding_pickle, "--architecture", "simple",
+        "--loss", "inv_corr", "--cls_weight", "0.1",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.02,1",
+        "--batch_size", "100", "--model_dump", model_dump, "--no_progress",
+    ])
+    from semantic_embeddings_tpu.cli.evaluate_classification_accuracy import (
+        main as evaluate,
+    )
+
+    perf = evaluate([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--hierarchy",
+        "/root/reference/Cifar-Hierarchy/cifar.parent-child.txt",
+        "--batch_size", "50",
+        "--model", model_dump, "--layer", "prob", "--prob_features", "1",
+        "--label", "prob-mode",
+        "--model", model_dump, "--layer", "l2norm",
+        "--centroids", embedding_pickle, "--label", "centroid-mode",
+        "--model", model_dump, "--layer", "avg_pool", "--prob_features", "0",
+        "--centroids", "", "--label", "svm-mode",
+    ])
+    assert set(perf) == {"prob-mode", "centroid-mode", "svm-mode"}
+    for res in perf.values():
+        assert 0.0 <= res["Accuracy"] <= 1.0
+        assert "Hierarchical Accuracy" in res
