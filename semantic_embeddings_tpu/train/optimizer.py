@@ -43,6 +43,43 @@ def init_velocity(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
+def l2_coef_tree(params, filters):
+    """Per-leaf L2 coefficients from ``ModelSpec.l2_filters``-style
+    (path-regex, coef) pairs; non-kernel leaves and unmatched paths get 0.
+
+    Used to fold Keras kernel regularization into the gradient
+    (``g + 2*coef*w``) instead of summing ``coef*||w||^2`` into the loss:
+    identical gradients and update, but it avoids one scalar reduction per
+    kernel in the forward AND stops XLA from fusing conv weight-gradients
+    into VPU reduce fusions on TPU.
+    """
+    import re
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    coefs = []
+    for path, _ in flat:
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        coef = 0.0
+        if names[-1] == "kernel":
+            joined = "/".join(names[:-1])
+            for pattern, c in filters:
+                if re.search(pattern, joined):
+                    coef = c
+                    break
+        coefs.append(coef)
+    return jax.tree_util.tree_unflatten(treedef, coefs)
+
+
+def apply_l2_grads(params, grads, coef_tree):
+    """Adds the L2-regularization gradient ``2*coef*w`` (Keras ``l2(coef)``
+    differentiates to exactly this) before clipping, like the reference's
+    loss-side regularizers would."""
+    return jax.tree_util.tree_map(
+        lambda g, p, c: g + 2.0 * c * p if c else g, grads, params, coef_tree
+    )
+
+
 def sgd_update(params, velocity, grads, lr, momentum=0.9, nesterov=False,
                clipnorm=0.0):
     """One Keras-SGD step; returns ``(new_params, new_velocity)``."""

@@ -81,8 +81,15 @@ def make_train_step(
     loss_fn_override: Callable | None = None,
     optimizer: str = "sgd",
     num_classes: int | None = None,
+    l2_coef_tree=None,
 ):
     """Builds the jitted train step.
+
+    ``l2_coef_tree``: per-leaf L2 coefficients (see
+    ``optimizer.l2_coef_tree``) applied as gradient terms instead of a
+    loss-side penalty — mathematically identical, substantially faster on
+    TPU (avoids per-kernel scalar reductions in the differentiated graph).
+    Mutually exclusive with ``l2_penalty_fn``.
 
     ``prepare(raw_batch, rng, train)`` runs *inside* jit and must return
     ``(images, labels)``; ``class_embedding`` (n_classes, d) provides the
@@ -147,6 +154,10 @@ def make_train_step(
             return total, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if l2_coef_tree is not None:
+            from .optimizer import apply_l2_grads
+
+            grads = apply_l2_grads(state.params, grads, l2_coef_tree)
         if trainable_fn is not None:
             mask = _trainable_mask(state.params, trainable_fn)
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
