@@ -444,31 +444,35 @@ def fit(
     best_metric = np.inf
     base_key = jax.random.PRNGKey(seed)
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
+    # Host-side mirror of state.step: reading the device scalar every batch
+    # would force a sync and serialize dispatch against compute.
+    global_step = int(state.step)
 
     for epoch in range(initial_epoch, epochs):
         t0 = time.time()
-        epoch_lr = schedule.lr(epoch, state.step)
+        epoch_lr = schedule.lr(epoch, global_step)
         n_batches = 0
         for raw in dataset.train_batches(batch_size, epoch, seed):
             if schedule.per_batch:
-                lr = schedule.lr(epoch, state.step)
+                lr = schedule.lr(epoch, global_step)
             else:
                 lr = epoch_lr
-            lr = effective_lr(lr, decay, state.step)
-            rng = jax.random.fold_in(base_key, int(state.step))
+            lr = effective_lr(lr, decay, global_step)
+            rng = jax.random.fold_in(base_key, global_step)
             if mesh is not None:
                 raw = shard_batch(mesh, raw)
             if profile_dir is not None:
                 # Device-level trace of a window of steady-state steps
                 # (jax.profiler; view with tensorboard or xprof).
-                if int(state.step) == profile_steps[0]:
+                if global_step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
-                elif int(state.step) == profile_steps[1]:
+                elif global_step == profile_steps[1]:
                     jax.block_until_ready(state.params)
                     jax.profiler.stop_trace()
                     print(f"Wrote device trace to {profile_dir}", flush=True)
                     profile_dir = None
             state, metrics = train_step(state, raw, lr, rng)
+            global_step += 1
             n_batches += 1
         train_metrics = {
             k: float(v) for k, v in jax.device_get(metrics).items()
