@@ -56,6 +56,8 @@ def build_parser():
                        help="bfloat16 compute (float32 params).")
     group.add_argument("--epochs", type=int, default=None)
     group.add_argument("--batch_size", type=int, default=100)
+    group.add_argument("--seed", type=int, default=0,
+                       help="PRNG seed (init, shuffling, augmentation).")
     group.add_argument("--val_batch_size", type=int, default=None)
     group.add_argument("--snapshot", type=str, default=None)
     group.add_argument("--snapshot_best", type=str, nargs="?", default=None,
@@ -108,7 +110,8 @@ def main(argv=None):
     )
     model = spec.module
 
-    state = common.init_model_state(model, spec.input_size, dataset.num_channels)
+    state = common.init_model_state(model, spec.input_size,
+                                    dataset.num_channels, seed=args.seed)
     if args.snapshot and os.path.exists(args.snapshot):
         print(f"Resuming from snapshot {args.snapshot}")
         state, _ = load_checkpoint(args.snapshot, state)
@@ -166,7 +169,7 @@ def main(argv=None):
         state, train_step, eval_step, dataset, schedule,
         epochs=epochs, batch_size=args.batch_size,
         val_batch_size=args.val_batch_size,
-        initial_epoch=args.initial_epoch, decay=decay,
+        initial_epoch=args.initial_epoch, decay=decay, seed=args.seed,
         snapshot=args.snapshot, snapshot_best=args.snapshot_best,
         verbose=not args.no_progress, mesh=mesh, log_fn=log_fn,
     )

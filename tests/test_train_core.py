@@ -262,3 +262,40 @@ def test_checkpoint_roundtrip(toy_setup, tmp_path):
     a = jax.tree_util.tree_leaves(state.params)
     b = jax.tree_util.tree_leaves(restored.params)
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_resume_reproduces_straight_run(toy_setup, tmp_path):
+    """Snapshot at epoch 1 + resume must equal a straight 2-epoch run:
+    optimizer state, BN stats, step counter and the RNG/shuffle streams all
+    restore exactly (stronger than the reference, which resets the
+    optimizer on resume)."""
+    model, spec, class_emb, variables = toy_setup
+    data = _ToyData()
+    kwargs = dict(loss_name="inv_corr", class_embedding=class_emb)
+    train_step = make_train_step(model, _prepare, **kwargs)
+    eval_step = make_eval_step(model, _prepare, **kwargs)
+    sched = PiecewiseSchedule([(0, 0.05)])
+
+    straight = fit(
+        new_train_state(variables), train_step, eval_step, data, sched,
+        epochs=2, batch_size=8, verbose=False, seed=7,
+    )
+
+    snap = str(tmp_path / "resume.ckpt")
+    st = fit(
+        new_train_state(variables), train_step, eval_step, data, sched,
+        epochs=1, batch_size=8, verbose=False, seed=7, snapshot=snap,
+    )
+    restored, _ = load_checkpoint(snap, new_train_state(variables))
+    resumed = fit(
+        restored, train_step, eval_step, data,
+        PiecewiseSchedule([(0, 0.05)]),
+        epochs=2, batch_size=8, verbose=False, seed=7, initial_epoch=1,
+    )
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(straight.step) == int(resumed.step)
