@@ -106,6 +106,23 @@ def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None
     return model, spec
 
 
+def print_model_summary(state, architecture):
+    """Parameter-count summary (the reference prints model.summary() when
+    progress display is on, ``learn_image_embeddings.py:157-158``)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(state.params)
+    n_params = sum(int(np.prod(l.shape)) for l in leaves)
+    n_stats = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(state.batch_stats)
+    )
+    print(
+        f"Model: {architecture} — {n_params:,} trainable parameters in "
+        f"{len(leaves)} tensors (+{n_stats:,} batch-norm statistics)"
+    )
+
+
 def init_model_state(model, input_size, channels, seed=0):
     variables = jax.jit(
         lambda k: model.init(

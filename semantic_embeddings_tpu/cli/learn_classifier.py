@@ -115,6 +115,8 @@ def main(argv=None):
     if args.snapshot and os.path.exists(args.snapshot):
         print(f"Resuming from snapshot {args.snapshot}")
         state, _ = load_checkpoint(args.snapshot, state)
+    if not args.no_progress:
+        common.print_model_summary(state, args.architecture)
 
     prepare = dataset.make_prepare()
     step_kwargs = dict(
