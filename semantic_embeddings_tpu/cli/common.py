@@ -20,6 +20,26 @@ from ..parallel import get_mesh
 from ..train import LOSS_OUTPUT, new_train_state
 
 
+def ensure_compile_cache():
+    """Enables JAX's persistent compilation cache for all CLIs.
+
+    On this class of environment XLA compiles can take minutes (remote
+    compile service); caching makes every rerun of a CLI start hot.
+    Honours JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
+    """
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/semantic_embeddings_tpu/xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def add_lr_schedule_arguments(parser):
     """Reference ``utils.add_lr_schedule_arguments`` (``utils.py:402-418``)."""
     group = parser.add_argument_group("Parameters for --lr_schedule=SGD")

@@ -193,6 +193,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
 
     if args.classes_from:
         with open(args.classes_from, "rb") as f:

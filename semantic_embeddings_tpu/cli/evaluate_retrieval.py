@@ -17,6 +17,7 @@ import numpy as np
 from ..data import get_data_generator
 from ..evaluation.retrieval import evaluate_retrieval_features
 from ..hierarchy import ClassHierarchy
+from . import common
 
 METRICS = [
     "P@1 (WUP)", "P@10 (WUP)", "P@50 (WUP)", "P@100 (WUP)", "AHP (WUP)",
@@ -148,6 +149,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
 
     if args.classes_from:
         with open(args.classes_from, "rb") as f:

@@ -93,6 +93,7 @@ def read_class_list(path):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
     if args.val_batch_size is None:
         args.val_batch_size = args.batch_size
 

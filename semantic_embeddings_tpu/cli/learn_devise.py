@@ -70,6 +70,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
     if args.val_batch_size is None:
         args.val_batch_size = args.batch_size
 
