@@ -132,6 +132,21 @@ def test_affine_flip_only():
     assert 2 <= flipped <= 14  # ~50% flip rate
 
 
+def test_affine_zoom_changes_scale():
+    # A centered bright square should grow/shrink under zoom but keep shape.
+    img = np.zeros((1, 16, 16, 1), np.float32)
+    img[0, 6:10, 6:10, 0] = 100.0
+    imgs = jnp.asarray(img)
+    areas = []
+    for k in range(8):
+        out = augment.random_affine_batch(
+            imgs, jax.random.PRNGKey(k), zoom=0.25
+        )
+        assert out.shape == imgs.shape
+        areas.append(float((np.asarray(out[0]) > 50).sum()))
+    assert min(areas) < 16 <= max(areas)  # both shrunk and grown variants
+
+
 def test_random_crop_and_center_crop():
     imgs = jnp.arange(2 * 10 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 10, 3)
     out = augment.random_crop_batch(imgs, jax.random.PRNGKey(1), 6, 6)
