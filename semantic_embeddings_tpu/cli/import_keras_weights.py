@@ -169,8 +169,6 @@ def build_parser():
 def main(argv=None):
     import jax
 
-    from ..models import EmbeddingModel, build_network
-    from ..train import new_train_state
     from ..train.state import save_checkpoint
     from . import common
 
