@@ -1,0 +1,1 @@
+"""Command-line entry points mirroring the reference's public scripts."""
