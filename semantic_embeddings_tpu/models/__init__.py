@@ -140,6 +140,7 @@ def build_network(
             include_top=include_top,
             top_activation=top_act,
             activation=activation,
+            remat=remat,
             dtype=dtype,
         )
         # l2(2e-4) on every kernel incl. the top dense

@@ -77,11 +77,18 @@ class SmallResNet(nn.Module):
     conv_shortcut: bool = False
     use_bn: bool = True
     pooling: str = "avg"
+    #: rematerialize residual blocks: on bandwidth-bound TPU workloads this
+    #: can REDUCE HBM traffic (recomputed block intermediates stay in VMEM)
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
+        block_cls = (
+            nn.remat(ResidualBlock, static_argnums=(2,))
+            if self.remat else ResidualBlock
+        )
         x = conv(self.filters[0], 3, name="conv0", dtype=self.dtype)(x)
         if self.use_bn:
             x = KerasBatchNorm(dtype=self.dtype, name="bn0")(x, train)
@@ -91,7 +98,7 @@ class SmallResNet(nn.Module):
         for stage, out_f in enumerate(self.filters):
             stride = 1 if stage == 0 else 2
             for block in range(self.n):
-                x = ResidualBlock(
+                x = block_cls(
                     in_features=in_f if block == 0 else out_f,
                     out_features=out_f,
                     stride=stride if block == 0 else 1,
