@@ -112,7 +112,7 @@ def resolve_mesh(gpus):
 
 
 def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None,
-                          remat=False, cls_input="output"):
+                          remat=False, cls_input="output", cls_base=None):
     """Backbone + output transform + optional cls head
     (``learn_image_embeddings.py:125-148``)."""
     spec = build_network(embed_dim, architecture, dtype=dtype, remat=remat)
@@ -121,6 +121,7 @@ def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None
         output=LOSS_OUTPUT[loss],
         cls_classes=cls_classes,
         cls_input=cls_input,
+        cls_base=cls_base,
         dtype=dtype,
     )
     return model, spec

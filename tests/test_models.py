@@ -235,3 +235,69 @@ def test_full_size_forward(arch):
     expected = 64 if arch == "resnet-110" else 100
     assert out.shape == (2, expected)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cls_base_taps_named_module():
+    """--cls_base parity (learn_image_embeddings.py:34-40): the head attaches
+    to a named backbone module's output instead of the embedding."""
+    from semantic_embeddings_tpu.models.layers import KerasBatchNorm, dense
+
+    spec = build_network(16, "simple")
+    model = EmbeddingModel(backbone=spec.module, output="l2norm",
+                           cls_classes=5, cls_base="top")
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    emb, prob = model.apply(variables, x, train=False)
+    assert prob.shape == (2, 5)
+
+    # The head must see the RAW 'top' output (pre-l2norm), not the
+    # transformed embedding: recompute it manually with shared params.
+    raw = spec.module.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        x, train=False,
+    )
+    head = jax.nn.relu(raw)
+    head = KerasBatchNorm(name="cls_bn").apply(
+        {"params": variables["params"]["cls_bn"],
+         "batch_stats": variables["batch_stats"]["cls_bn"]},
+        head, False,
+    )
+    head = dense(5, name="cls_top").apply(
+        {"params": {"kernel": variables["params"]["cls_top"]["kernel"],
+                    "bias": variables["params"]["cls_top"]["bias"]}}, head
+    )
+    np.testing.assert_allclose(
+        np.asarray(prob), np.asarray(jax.nn.softmax(head)), rtol=1e-5
+    )
+    # And it differs from the default head placement (post-l2norm).
+    m_def = EmbeddingModel(backbone=spec.module, output="l2norm", cls_classes=5)
+    _, prob_def = m_def.apply(variables, x, train=False)
+    assert not np.allclose(np.asarray(prob), np.asarray(prob_def))
+
+    # Gradients flow through the tap into the backbone.
+    def loss(params):
+        _, p = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        return -jnp.log(p[:, 0]).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    gn = np.linalg.norm(np.asarray(g["backbone"]["conv1"]["kernel"]))
+    assert gn > 0
+
+
+def test_cls_base_errors():
+    spec = build_network(8, "resnet-32")
+    x = jnp.ones((1, 32, 32, 3))
+    ambiguous = EmbeddingModel(backbone=spec.module, output="l2norm",
+                               cls_classes=3, cls_base="conv_a")
+    with pytest.raises(ValueError, match="ambiguous"):
+        ambiguous.init(jax.random.PRNGKey(0), x, train=False)
+    missing = EmbeddingModel(backbone=spec.module, output="l2norm",
+                             cls_classes=3, cls_base="nope")
+    with pytest.raises(ValueError, match="matched no module"):
+        missing.init(jax.random.PRNGKey(0), x, train=False)
