@@ -13,6 +13,11 @@ this framework's parameter tree for the supported families:
 - ``resnet-50`` (keras-applications v1): ``conv1/bn_conv1``,
   ``res{S}{L}_branch2a|2b|2c|1`` -> ``stage{S-1}_block{idx}/
   conv_a|conv_b|conv_c|conv_sc``.
+- ``wrn-28-10`` / ``pyramidnet-272-200`` / ``pyramidnet-110-270`` /
+  ``densenet-100-12|100-24|bc-190-40``: these reference models leave inner
+  layers unnamed (Keras auto-names ``conv2d_*`` / ``batch_normalization_*``),
+  so weights are mapped BY ORDER of the h5 layer list (creation order);
+  counts are validated before assignment.
 - the trainer's classification head: ``prob`` -> ``cls_top``, its
   preceding BatchNorm -> ``cls_bn``.
 
@@ -76,6 +81,69 @@ def _put_bn(params, batch_stats, path, weights):
     _assign(batch_stats, bn_path, "var", var)
 
 
+def _wrn_order(n_blocks=4):
+    """(conv paths, bn paths) in Keras layer-creation order for the
+    reference WRN (``wide_residual_network.py:8-101``): all inner layers are
+    unnamed there, so the import maps by order."""
+    convs, bns = ["conv0"], ["bn0"]
+    for g in range(3):
+        convs += [f"g{g}_expand_a", f"g{g}_expand_b", f"g{g}_skip"]
+        bns += [f"g{g}_expand_bn"]
+        for b in range(n_blocks - 1):
+            convs += [f"g{g}_b{b}_conv_a", f"g{g}_b{b}_conv_b"]
+            bns += [f"g{g}_b{b}_bn_a", f"g{g}_b{b}_bn_b"]
+        bns += [f"g{g}_bn_out"]
+    return convs, bns
+
+
+def _pyramidnet_order(depth, bottleneck):
+    """Unnamed-layer order for the reference PyramidNet
+    (``cifar_pyramidnet.py:90-110,146-167``; conv0/bn0/bn4 are named)."""
+    n = (depth - 2) // (9 if bottleneck else 6)
+    convs, bns = [], []
+    for s in range(1, 4):
+        for b in range(1, n + 1):
+            p = f"stage{s}_block{b}"
+            bns += [f"{p}/bn_in", f"{p}/bn_a", f"{p}/bn_b"]
+            convs += [f"{p}/conv_a", f"{p}/conv_b"]
+            if bottleneck:
+                convs += [f"{p}/conv_c"]
+                bns += [f"{p}/bn_c"]
+    return convs, bns
+
+
+def _densenet_order(depth, bottleneck, nb_dense_block=3):
+    """Unnamed-layer order for the reference vendored DenseNet
+    (``models/DenseNet/densenet.py:451-534,562-661``)."""
+    count = (depth - 4) // 3
+    if bottleneck:
+        count //= 2
+    convs, bns = ["conv_init"], []
+    for blk in range(nb_dense_block):
+        for i in range(count):
+            p = f"b{blk}_l{i}"
+            bns += [f"{p}_bn"]
+            if bottleneck:
+                convs += [f"{p}_neck"]
+                bns += [f"{p}_neck_bn"]
+            convs += [f"{p}_grow"]
+        if blk != nb_dense_block - 1:
+            bns += [f"b{blk}_trans_bn"]
+            convs += [f"b{blk}_trans"]
+    bns += ["bn_final"]
+    return convs, bns
+
+
+_ORDERED_FAMILIES = {
+    "wrn-28-10": lambda: _wrn_order(4),
+    "pyramidnet-272-200": lambda: _pyramidnet_order(272, True),
+    "pyramidnet-110-270": lambda: _pyramidnet_order(110, False),
+    "densenet-100-12": lambda: _densenet_order(100, False),
+    "densenet-100-24": lambda: _densenet_order(100, False),
+    "densenet-bc-190-40": lambda: _densenet_order(190, True),
+}
+
+
 def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"):
     """Maps Keras layer weights into (params, batch_stats) nested dicts."""
     params, batch_stats = {}, {}
@@ -89,7 +157,42 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
         consumed.add(name)
         return layers[name]
 
+    if architecture in _ORDERED_FAMILIES:
+        # These reference models leave their inner layers unnamed (Keras
+        # auto-names conv2d_*/batch_normalization_*), so map them by their
+        # order in the h5 layer list, which records creation order.
+        conv_paths, bn_paths = _ORDERED_FAMILIES[architecture]()
+        conv_names = [n for n in layers
+                      if re.fullmatch(r"conv2d(_\d+)?", n)]
+        bn_names = [n for n in layers
+                    if re.fullmatch(r"batch_normalization(_\d+)?", n)]
+        dense_names = [n for n in layers if re.fullmatch(r"dense(_\d+)?", n)]
+        if len(conv_names) != len(conv_paths):
+            raise ValueError(
+                f"{architecture}: expected {len(conv_paths)} unnamed convs, "
+                f"h5 has {len(conv_names)}"
+            )
+        expect_bns = len(bn_paths) + (1 if has_cls_head else 0)
+        if len(bn_names) != expect_bns:
+            raise ValueError(
+                f"{architecture}: expected {expect_bns} unnamed BNs "
+                f"(incl. cls head: {has_cls_head}), h5 has {len(bn_names)}"
+            )
+        for cname, path in zip(conv_names, conv_paths):
+            _put_conv(params, bpath(*path.split("/")), take(cname))
+        for bname, path in zip(bn_names, bn_paths):
+            _put_bn(params, batch_stats, bpath(*path.split("/")), take(bname))
+        if has_cls_head:
+            _put_bn(params, batch_stats, ["cls_bn"],
+                    take(bn_names[len(bn_paths)]))
+        # The DenseNet top Dense is unnamed too (densenet.py:660); WRN /
+        # PyramidNet name theirs embedding/prob (handled below).
+        if dense_names:
+            _put_conv(params, bpath("top"), take(dense_names[0]))
+
     for name in list(layers.keys()):
+        if name in consumed:
+            continue
         m_small_conv = re.fullmatch(r"res(\d+)-(\d+)([xyz])", name)
         m_small_bn = re.fullmatch(r"bn(\d+)-(\d+)([xyz])", name)
         m_rn50_conv = re.fullmatch(r"res(\d)([a-z])_branch(2a|2b|2c|1)", name)
@@ -126,6 +229,9 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
             _put_conv(params, bpath("conv0"), take(name))
         elif name in ("bn0",) or (architecture == "resnet-50" and name == "bn_conv1"):
             _put_bn(params, batch_stats, bpath("bn0"), take(name))
+        elif name == "bn4" and architecture.startswith("pyramidnet"):
+            # the reference's named final BN (cifar_pyramidnet.py:156)
+            _put_bn(params, batch_stats, bpath("bn_final"), take(name))
         elif name in ("embedding",):
             _put_conv(params, bpath("top"), take(name))
         elif name == "prob":

@@ -116,3 +116,104 @@ def test_model_weights_group_layout(tmp_path):
     layers = read_keras_h5(path)
     assert set(layers) == {"conv0", "bn0"}
     np.testing.assert_array_equal(layers["conv0"][0], inner["conv0"][0])
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = v
+    return out
+
+
+@pytest.mark.parametrize("arch", [
+    "wrn-28-10", "pyramidnet-110-270", "pyramidnet-272-200",
+    "densenet-100-12", "densenet-bc-190-40",
+])
+def test_ordered_family_import_covers_model(arch):
+    """WRN/PyramidNet/DenseNet reference models leave inner layers unnamed;
+    the importer maps them by h5 order. Validate the generated order against
+    the real model: every backbone parameter must be assigned, with the
+    right shape (uses eval_shape — no compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_embeddings_tpu.cli.import_keras_weights import (
+        _ORDERED_FAMILIES, map_layers)
+    from semantic_embeddings_tpu.models import build_network
+
+    spec = build_network(32, arch)
+    shapes = jax.eval_shape(
+        lambda: spec.module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+    )
+    p_model = _flatten({"backbone": jax.tree_util.tree_map(
+        lambda x: x.shape, shapes["params"])})
+    bs_model = _flatten({"backbone": jax.tree_util.tree_map(
+        lambda x: x.shape, shapes["batch_stats"])})
+
+    # Synthesize the h5 layer dict in reference creation order with the
+    # model's own shapes (inverse of the mapping under test).
+    conv_paths, bn_paths = _ORDERED_FAMILIES[arch]()
+    params_tree = shapes["params"]
+
+    def node(path):
+        n = params_tree
+        for part in path.split("/"):
+            n = n[part]
+        return n
+
+    layers = {}
+    for i, path in enumerate(conv_paths):
+        n = node(path)
+        w = [np.zeros(n["kernel"].shape, np.float32)]
+        if "bias" in n:
+            w.append(np.zeros(n["bias"].shape, np.float32))
+        layers[f"conv2d_{i + 1}"] = w
+    for i, path in enumerate(bn_paths):
+        c = node(path)["BatchNorm_0"]["scale"].shape
+        layers[f"batch_normalization_{i + 1}"] = [
+            np.ones(c, np.float32), np.zeros(c, np.float32),
+            np.zeros(c, np.float32), np.ones(c, np.float32)]
+    # named top/bn4 per family
+    top_shape = params_tree["top"]["kernel"].shape
+    if arch.startswith("densenet"):
+        layers["dense_1"] = [np.zeros(top_shape, np.float32),
+                             np.zeros(top_shape[1], np.float32)]
+    else:
+        layers["embedding"] = [np.zeros(top_shape, np.float32),
+                               np.zeros(top_shape[1], np.float32)]
+    if arch.startswith("pyramidnet"):
+        c = params_tree["bn_final"]["BatchNorm_0"]["scale"].shape
+        layers["bn4"] = [np.ones(c, np.float32), np.zeros(c, np.float32),
+                         np.zeros(c, np.float32), np.ones(c, np.float32)]
+        # conv0/bn0 are NAMED in the reference pyramidnet (unlike WRN)
+        n = params_tree["conv0"]
+        layers["conv0"] = [np.zeros(n["kernel"].shape, np.float32),
+                           np.zeros(n["bias"].shape, np.float32)]
+        c0 = params_tree["bn0"]["BatchNorm_0"]["scale"].shape
+        layers["bn0"] = [np.ones(c0, np.float32), np.zeros(c0, np.float32),
+                         np.zeros(c0, np.float32), np.ones(c0, np.float32)]
+
+    params, batch_stats, skipped = map_layers(layers, arch)
+    assert skipped == []
+    p_got = _flatten(params)
+    bs_got = _flatten(batch_stats)
+    assert set(p_got) == set(p_model), (
+        sorted(set(p_model) - set(p_got))[:5],
+        sorted(set(p_got) - set(p_model))[:5],
+    )
+    assert set(bs_got) == set(bs_model)
+    for k in p_got:
+        assert tuple(p_got[k].shape) == tuple(p_model[k]), k
+
+
+def test_ordered_family_count_mismatch_raises():
+    from semantic_embeddings_tpu.cli.import_keras_weights import map_layers
+
+    layers = {"conv2d_1": [np.zeros((3, 3, 3, 16), np.float32)]}
+    with pytest.raises(ValueError, match="expected .* unnamed convs"):
+        map_layers(layers, "wrn-28-10")
