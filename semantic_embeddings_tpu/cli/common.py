@@ -304,9 +304,12 @@ def _classifier_outputs(params):
 
 
 class MetricsLogger:
-    """JSONL metrics log standing in for the reference's TensorBoard
-    ``--log_dir`` (``learn_image_embeddings.py:212-215``); the directory is
-    recreated like the reference wipes its log dir."""
+    """Per-epoch metrics log for ``--log_dir``
+    (``learn_image_embeddings.py:212-215``): TensorBoard scalar event files
+    like the reference's ``keras.callbacks.TensorBoard``, plus a
+    ``metrics.jsonl`` for grep-ability.  The directory is recreated like
+    the reference wipes its log dir.  TensorBoard output degrades
+    gracefully to JSONL-only if tensorflow isn't importable."""
 
     def __init__(self, log_dir):
         import shutil
@@ -315,9 +318,22 @@ class MetricsLogger:
             shutil.rmtree(log_dir, ignore_errors=True)
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._tb = None
+        try:
+            import tensorflow as tf
+
+            self._tb = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            pass
 
     def __call__(self, epoch, metrics):
+        vals = {k: float(v) for k, v in metrics.items()}
         with open(self.path, "a") as f:
-            f.write(json.dumps({"epoch": epoch, **{
-                k: float(v) for k, v in metrics.items()
-            }}) + "\n")
+            f.write(json.dumps({"epoch": epoch, **vals}) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default(step=epoch):
+                for k, v in vals.items():
+                    tf.summary.scalar(f"epoch_{k}", v)
+            self._tb.flush()

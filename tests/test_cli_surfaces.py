@@ -61,3 +61,16 @@ def test_cli_flags_present(module, flags):
     # --help renders without crashing
     helptext = parser.format_help()
     assert len(helptext) > 100
+
+
+def test_metrics_logger_writes_tensorboard_events(tmp_path):
+    """--log_dir parity: TensorBoard scalar event files + JSONL."""
+    import glob
+
+    pytest.importorskip("tensorflow")
+    from semantic_embeddings_tpu.cli.common import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path / "logs"))
+    log(0, {"loss": 1.5})
+    assert glob.glob(str(tmp_path / "logs" / "events.out.tfevents.*"))
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
