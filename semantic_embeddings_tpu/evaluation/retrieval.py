@@ -135,6 +135,11 @@ def _device_metric_fn(evaluator, normalize, n_items):
         [evaluator._best_cum(c)[1][1:] - 1.0 for c in range(n_cls)]
     ).astype(np.float32)
 
+    # Device-resident lookup tables.  These MUST enter the jitted function
+    # as arguments, not closure constants: best_w/best_l are (C, N-1) —
+    # 200 MB each at ILSVRC-val scale — and closure constants get embedded
+    # into the serialized HLO (the remote compile service rejects the
+    # oversized program with HTTP 413).
     wup_sim = jnp.asarray(evaluator.wup_sim, dtype=jnp.float32)
     lcs_sim = jnp.asarray(evaluator.lcs_sim, dtype=jnp.float32)
     best_w = jnp.asarray(best_w)
@@ -142,7 +147,8 @@ def _device_metric_fn(evaluator, normalize, n_items):
     db_classes = jnp.asarray(evaluator.db_classes, dtype=jnp.int32)
 
     @jax.jit
-    def block_metrics(queries, database, q_index):
+    def _impl(queries, database, q_index, wup_sim, lcs_sim, best_w, best_l,
+              db_classes):
         # Rank class ids directly as the sort payload: ~6x faster than
         # argsort + gather on TPU (the metrics never need item indices).
         # lax.sort is stable, so ties keep database order like the stable
@@ -189,6 +195,10 @@ def _device_metric_fn(evaluator, normalize, n_items):
             n_pos = cum_rel[:, -1]
             out["AP"] = (prec_at * rel).sum(axis=1) / jnp.maximum(n_pos, 1)
         return out
+
+    def block_metrics(queries, database, q_index):
+        return _impl(queries, database, q_index, wup_sim, lcs_sim,
+                     best_w, best_l, db_classes)
 
     return block_metrics
 
