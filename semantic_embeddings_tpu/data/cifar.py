@@ -148,6 +148,12 @@ class InMemoryDataset(DatasetBase):
         return self._device_arrays
 
     def make_prepare(self, augment_train=True):
+        # NOTE: these device arrays are captured by the jitted train step,
+        # and captured buffers ship with each remote-compile request on this
+        # setup (~150 MB for real CIFAR-100 -> one slow first compile; the
+        # persistent cache absorbs repeats). Keep the TOTAL captured size
+        # under the service's ~400 MB request limit — very large tables must
+        # be passed as jit arguments instead (see evaluation/retrieval.py).
         xtr, ytr, xte, yte = self._arrays()
         mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
         ws, hs, zm, hf = self.width_shift, self.height_shift, self.zoom, self.hflip

@@ -105,6 +105,9 @@ def make_train_step(
         loss_fn_override if loss_fn_override is not None
         else EMB_LOSSES[loss_name]
     )
+    # Captured by the jitted step; ships with the remote-compile request
+    # (biggest real case: iNat 8k x 1024 = 33 MB — fine; see the capture-size
+    # note in data/cifar.py::make_prepare).
     class_embedding = (
         None
         if class_embedding is None
