@@ -96,3 +96,49 @@ def test_generator_input_and_padding(setup):
     )
     for name in want:
         assert got[name] == pytest.approx(want[name], abs=1e-10), name
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_tree_property(oracle, seed):
+    """Property test: on RANDOM tree topologies (uneven depth and branching)
+    with fully random rankings, our evaluator must match the reference
+    exactly.  (DAGs are excluded: the reference's Wu-Palmer tie-break among
+    equally-deep subsumers is unspecified there — see ROUND_NOTES.md.)"""
+    rng = np.random.default_rng(seed)
+
+    # Random tree: each new node attaches to a uniformly-chosen existing one.
+    n_nodes = int(rng.integers(20, 60))
+    parents = {}
+    for node in range(1, n_nodes):
+        parents[node] = int(rng.integers(0, node))
+    p_map = {c: [p] for c, p in parents.items()}
+    c_map = _children_from(parents, n_nodes)
+    ours = ClassHierarchy(dict(p_map), dict(c_map))
+    ref = oracle(dict(p_map), dict(c_map))
+
+    leaves = sorted(set(range(n_nodes)) - set(parents.values()))
+    n_items = 60
+    labels = {i: leaves[int(rng.integers(0, len(leaves)))]
+              for i in range(n_items)}
+    retrieved = {
+        q: list(rng.permutation(n_items)) for q in range(n_items)
+    }
+
+    got, _ = ours.hierarchical_precision(
+        retrieved, labels, ks=[1, 5, 20], compute_ahp=True, compute_ap=True,
+        ignore_qids=True,
+    )
+    want, _ = ref.hierarchical_precision(
+        {q: list(r) for q, r in retrieved.items()}, dict(labels),
+        ks=[1, 5, 20], compute_ahp=True, compute_ap=True, ignore_qids=True,
+    )
+    assert set(got) == set(want)
+    for name in want:
+        assert got[name] == pytest.approx(want[name], abs=1e-10), name
+
+
+def _children_from(parents, n_nodes):
+    children = {}
+    for c, p in parents.items():
+        children.setdefault(p, []).append(c)
+    return children

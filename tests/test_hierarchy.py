@@ -121,3 +121,38 @@ def test_cub_wikispecies_golden(reference_dir):
     # The golden unit-sphere embedding reproduces 1 - dist exactly,
     # confirming our pairwise LCS-height matrix on string-id trees.
     assert np.abs(ge @ ge.T - (1.0 - dist)).max() < 1e-6
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_random_tree_wup_lcs_vs_oracle(reference_dir, seed):
+    """Random-topology parity: scalar WUP / LCS-height dissimilarity against
+    the reference implementation on trees the CIFAR fixture can't cover
+    (uneven depth/branching)."""
+    import sys
+
+    sys.path.insert(0, reference_dir)
+    try:
+        from class_hierarchy import ClassHierarchy as RefHierarchy
+    finally:
+        sys.path.remove(reference_dir)
+
+    rng = np.random.default_rng(seed)
+    n_nodes = int(rng.integers(25, 70))
+    parents = {c: int(rng.integers(0, c)) for c in range(1, n_nodes)}
+    children = {}
+    for c, p in parents.items():
+        children.setdefault(p, []).append(c)
+    p_map = {c: [p] for c, p in parents.items()}
+    ours = ClassHierarchy(dict(p_map), {k: list(v) for k, v in children.items()})
+    ref = RefHierarchy(dict(p_map), {k: list(v) for k, v in children.items()})
+
+    leaves = sorted(set(range(n_nodes)) - set(parents.values()))
+    from semantic_embeddings_tpu.hierarchy import pairwise_matrices
+
+    mats = pairwise_matrices(ours, leaves)
+    for i, a in enumerate(leaves):
+        for j, b in enumerate(leaves):
+            assert mats["wup"][i, j] == pytest.approx(
+                ref.wup_similarity(a, b), abs=1e-10), (a, b)
+            assert mats["lcs_height"][i, j] == pytest.approx(
+                ref.lcs_height(a, b), abs=1e-10), (a, b)
