@@ -124,3 +124,76 @@ def test_classification_accuracy_modes(cifar_root, embedding_pickle, tmp_path):
     for res in perf.values():
         assert 0.0 <= res["Accuracy"] <= 1.0
         assert "Hierarchical Accuracy" in res
+
+
+def test_baseline_learner_clis(cifar_root, embedding_pickle, tmp_path):
+    """Every baseline learner CLI runs end-to-end on the synthetic CIFAR
+    fixture: classifier (+label smoothing), DeViSE, label-embedding
+    network, center loss with fixed semantic centroids."""
+    from semantic_embeddings_tpu.cli.learn_classifier import main as classifier
+    from semantic_embeddings_tpu.cli.learn_devise import main as devise
+    from semantic_embeddings_tpu.cli.learn_labelembedding import main as labelembed
+    from semantic_embeddings_tpu.cli.learn_center_loss import main as center
+
+    common = ["--dataset", "cifar-100", "--data_root", cifar_root,
+              "--batch_size", "100", "--no_progress"]
+
+    classifier(common + [
+        "--architecture", "simple", "--label_smoothing", "0.1",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.01,1",
+        "--model_dump", str(tmp_path / "cls.ckpt"),
+    ])
+    assert os.path.exists(tmp_path / "cls.ckpt")
+
+    devise(common + [
+        "--embedding", embedding_pickle, "--architecture", "simple",
+        "--init_epochs", "1", "--ft_epochs", "1",
+        "--feature_dump", str(tmp_path / "devise_feat.pickle"),
+    ])
+    with open(tmp_path / "devise_feat.pickle", "rb") as f:
+        assert len(pickle.load(f)["feat"]) == 200
+
+    labelembed(common + [
+        "--architecture", "simple", "--embed_dim", "32",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.01,1",
+        "--model_dump", str(tmp_path / "le.ckpt"),
+    ])
+    assert os.path.exists(tmp_path / "le.ckpt")
+
+    center(common + [
+        "--architecture", "simple", "--centroids", embedding_pickle,
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.01,1",
+        "--model_dump", str(tmp_path / "cl.ckpt"),
+    ])
+    assert os.path.exists(tmp_path / "cl.ckpt")
+
+
+def test_plot_clis(cifar_root, embedding_pickle, reference_dir, tmp_path):
+    """plot_recall_precision and plot_hierarchy produce output files."""
+    rng = np.random.default_rng(0)
+    emb = pickle.load(open(embedding_pickle, "rb"))
+    feat = np.asarray(emb["embedding"], np.float32)[
+        (np.arange(200) % 100)
+    ] + 0.1 * rng.normal(size=(200, 100)).astype(np.float32)
+    feat_p = str(tmp_path / "feat.pickle")
+    with open(feat_p, "wb") as f:
+        pickle.dump({"feat": dict(enumerate(feat))}, f)
+
+    from semantic_embeddings_tpu.cli.plot_recall_precision import main as prp
+
+    out_png = str(tmp_path / "rp.png")
+    prp([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--feat", feat_p, "--label", "test", "--out", out_png,
+    ])
+    assert os.path.exists(out_png)
+
+    from semantic_embeddings_tpu.cli.plot_hierarchy import main as ph
+
+    out_svg = str(tmp_path / "tree.svg")
+    ph([
+        "--hierarchy",
+        os.path.join(reference_dir, "Cifar-Hierarchy", "cifar.parent-child.txt"),
+        "--out", out_svg,
+    ])
+    assert os.path.getsize(out_svg) > 1000
