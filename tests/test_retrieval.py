@@ -83,3 +83,35 @@ def test_pairwise_retrieval_dict_input(setup, tmp_path):
     out = pairwise_retrieval(path, normalize=True, return_generator=False)
     assert set(out.keys()) == {f"img{i}" for i in range(20)}
     assert out["img3"][0] == "img3"
+
+
+def test_topk_fast_path_matches_full():
+    """P@k + clipped AHP without AP take the top_k prefix path; results must
+    equal the full-sort path exactly."""
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    parents = {c: [10 + c // 3] for c in range(9)}
+    parents.update({10 + g: [100] for g in range(3)})
+    children = {}
+    for c, ps in parents.items():
+        children.setdefault(ps[0], []).append(c)
+    h = ClassHierarchy(parents, children)
+
+    rng = np.random.default_rng(0)
+    labels = (np.arange(90) % 9).tolist()
+    feat = rng.normal(size=(90, 8)).astype(np.float32)
+    feat[np.arange(90), np.asarray(labels) % 8] += 2.0
+
+    kwargs = dict(ks=(1, 5), compute_ahp=15, normalize=True)
+    fast, fast_pq = evaluate_retrieval_features(
+        feat, labels, h, compute_ap=False, **kwargs)
+    full, full_pq = evaluate_retrieval_features(
+        feat, labels, h, compute_ap=True, **kwargs)
+    for name in fast:
+        assert fast[name] == pytest.approx(full[name], abs=1e-6), name
+        for q in (0, 41, 89):
+            assert fast_pq[name][q] == pytest.approx(
+                full_pq[name][q], abs=1e-6), (name, q)
