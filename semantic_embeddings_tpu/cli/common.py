@@ -171,14 +171,17 @@ def extract_test_features(model, state, dataset, batch_size=100, pick=None):
         )
         return out
 
-    chunks = []
+    # Enqueue all batches, fetch once: per-batch np.asarray forces a
+    # host<->device round trip per batch (expensive on a tunneled backend).
+    pending, valids = [], []
     for raw in dataset.test_batches(batch_size):
         out = forward(state, raw)
         if pick is not None:
             out = out[pick]
-        valid = np.asarray(raw["valid"]) > 0
-        chunks.append(np.asarray(out)[valid])
-    return np.concatenate(chunks)
+        pending.append(out)
+        valids.append(np.asarray(raw["valid"]) > 0)
+    fetched = jax.device_get(pending)
+    return np.concatenate([o[v] for o, v in zip(fetched, valids)])
 
 
 def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None):
@@ -255,9 +258,12 @@ def extract_by_tap(model, variables, prepare, batches, layer=None,
                 )
             feats = match
         valid = np.asarray(raw["valid"]) > 0 if "valid" in raw else None
-        feats = np.asarray(feats)
-        chunks.append(feats[valid] if valid is not None else feats)
-    return np.concatenate(chunks)
+        chunks.append((feats, valid))  # device array; fetched in one go
+    fetched = jax.device_get([f for f, _ in chunks])
+    return np.concatenate([
+        f[v] if v is not None else f
+        for f, (_, v) in zip(fetched, chunks)
+    ])
 
 
 def rebuild_model_from_checkpoint(path, architecture=None):

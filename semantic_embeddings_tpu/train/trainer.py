@@ -387,12 +387,16 @@ def make_forward_fn(model, prepare=None, taps=False, mesh=None):
 
 
 def run_validation(eval_step, state, batches, rng):
-    """Drives the eval step over an iterator of raw batches."""
+    """Drives the eval step over an iterator of raw batches.
+
+    All batches are enqueued before anything is fetched: dispatch is
+    async, so the device pipelines the steps and the host<->device round
+    trip (expensive on a tunneled backend) is paid once, not per batch.
+    """
     totals = {}
     preds = []
-    for raw in batches:
-        m = eval_step(state, raw, rng)
-        m = jax.device_get(m)
+    pending = [eval_step(state, raw, rng) for raw in batches]
+    for m in jax.device_get(pending):
         if "pred" in m:
             preds.append(m.pop("pred"))
         for k, v in m.items():
