@@ -109,3 +109,29 @@ def test_graft_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_topk_retrieval_matches_single(setup):
+    """The top_k prefix fast path under a mesh (sharded query blocks) must
+    match single-device results."""
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy(
+        {"a": ["r"], "b": ["r"], "c": ["s"], "d": ["s"], "r": ["t"], "s": ["t"]},
+        {"t": ["r", "s"], "r": ["a", "b"], "s": ["c", "d"]},
+    )
+    rng = np.random.default_rng(7)
+    labels = [["a", "b", "c", "d"][i % 4] for i in range(64)]
+    feats = rng.normal(size=(64, 8)).astype(np.float32)
+    kwargs = dict(ks=[1, 5], compute_ahp=12, compute_ap=False,
+                  normalize=True, block_size=16)
+    single, _ = evaluate_retrieval_features(feats, labels, h, **kwargs)
+    sharded, _ = evaluate_retrieval_features(
+        feats, labels, h, mesh=get_mesh(8), **kwargs
+    )
+    assert "AHP@12 (WUP)" in single
+    for name in single:
+        assert single[name] == pytest.approx(sharded[name], abs=1e-6), name
