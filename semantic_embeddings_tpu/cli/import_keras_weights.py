@@ -66,9 +66,37 @@ def _assign(tree, path, leaf_name, value):
     node[leaf_name] = value
 
 
-def _put_conv(params, path, weights):
+#: conv layer name -> the BatchNorm that consumes its output, for the
+#: families whose convs are bias-free in this framework (every conv feeds a
+#: BN, so the Keras bias is functionally dead — BN subtracts the batch mean
+#: and the loss is exactly invariant to it).  An imported bias ``b`` is
+#: *folded* into the following BN's moving mean as ``mean - b``: the
+#: reference's moving mean was estimated over conv outputs that INCLUDED
+#: ``b``, while our bias-free conv output is exactly ``b`` lower, so
+#: ``mean - b`` is the matching statistic — identical normalized output at
+#: inference, and training-mode batch stats never see the difference.
+_CONV_TO_BN = {"conv0": "bn0", "conv_a": "bn_a", "conv_b": "bn_b",
+               "conv_c": "bn_c", "conv_sc": "bn_sc"}
+
+
+def _fold_architecture(architecture):
+    """Families whose convs are bias-free here (SmallResNet incl. -selu,
+    ImageNet ResNets, PyramidNet).  WRN/DenseNet/NASNet reference models are
+    already bias-free; PlainNet (``simple``) keeps live biases
+    (conv -> activation -> BN there)."""
+    arch = architecture.lower().removesuffix("-selu")
+    return arch.startswith(("resnet-", "rn", "pyramidnet-"))
+
+
+def _put_conv(params, path, weights, bias_folds=None):
     _assign(params, path, "kernel", weights[0])
-    if len(weights) > 1:
+    if len(weights) <= 1:
+        return
+    leaf = path[-1]
+    if bias_folds is not None and leaf in _CONV_TO_BN:
+        bn_path = tuple(path[:-1]) + (_CONV_TO_BN[leaf],)
+        bias_folds[bn_path] = np.asarray(weights[1])
+    else:
         _assign(params, path, "bias", weights[1])
 
 
@@ -145,8 +173,13 @@ _ORDERED_FAMILIES = {
 
 
 def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"):
-    """Maps Keras layer weights into (params, batch_stats) nested dicts."""
+    """Maps Keras layer weights into (params, batch_stats) nested dicts.
+
+    For bias-free-conv families (see ``_fold_architecture``), Keras conv
+    biases are folded into the following BN's moving mean instead of being
+    assigned (exactly equivalent; see ``_CONV_TO_BN``)."""
     params, batch_stats = {}, {}
+    bias_folds = {} if _fold_architecture(architecture) else None
 
     def bpath(*parts):
         return ([backbone_key] if backbone_key else []) + list(parts)
@@ -179,7 +212,8 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
                 f"(incl. cls head: {has_cls_head}), h5 has {len(bn_names)}"
             )
         for cname, path in zip(conv_names, conv_paths):
-            _put_conv(params, bpath(*path.split("/")), take(cname))
+            _put_conv(params, bpath(*path.split("/")), take(cname),
+                      bias_folds)
         for bname, path in zip(bn_names, bn_paths):
             _put_bn(params, batch_stats, bpath(*path.split("/")), take(bname))
         if has_cls_head:
@@ -201,7 +235,8 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
         if architecture.startswith("resnet-") and m_small_conv:
             s, b, which = m_small_conv.groups()
             sub = {"x": "conv_a", "y": "conv_b", "z": "conv_sc"}[which]
-            _put_conv(params, bpath(f"stage{s}_block{b}", sub), take(name))
+            _put_conv(params, bpath(f"stage{s}_block{b}", sub), take(name),
+                      bias_folds)
         elif architecture.startswith("resnet-") and m_small_bn:
             s, b, which = m_small_bn.groups()
             sub = {"x": "bn_a", "y": "bn_b", "z": "bn_sc"}[which]
@@ -215,6 +250,7 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
             _put_conv(
                 params,
                 bpath(f"stage{int(stage) - 1}_block{block}", sub), take(name),
+                bias_folds=bias_folds,
             )
         elif architecture == "resnet-50" and m_rn50_bn:
             stage, letter, branch = m_rn50_bn.groups()
@@ -226,7 +262,7 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
                 bpath(f"stage{int(stage) - 1}_block{block}", sub), take(name),
             )
         elif name in ("conv0",) or (architecture == "resnet-50" and name == "conv1"):
-            _put_conv(params, bpath("conv0"), take(name))
+            _put_conv(params, bpath("conv0"), take(name), bias_folds)
         elif name in ("bn0",) or (architecture == "resnet-50" and name == "bn_conv1"):
             _put_bn(params, batch_stats, bpath("bn0"), take(name))
         elif name == "bn4" and architecture.startswith("pyramidnet"):
@@ -247,6 +283,20 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
                 _put_conv(params, bpath(name), take(name))
         elif re.fullmatch(r"batch_normalization(_\d+)?", name) and has_cls_head:
             _put_bn(params, batch_stats, ["cls_bn"], take(name))
+
+    for bn_path, bias in (bias_folds or {}).items():
+        if not np.any(bias):
+            continue  # zero bias folds to a no-op; the BN need not be present
+        node = batch_stats
+        try:
+            for part in list(bn_path) + ["BatchNorm_0"]:
+                node = node[part]
+            node["mean"] = node["mean"] - bias
+        except KeyError:
+            raise ValueError(
+                f"nonzero conv bias for {'/'.join(bn_path)} cannot be "
+                f"folded: that BatchNorm was not found in the h5 file"
+            ) from None
 
     skipped = sorted(set(layers) - consumed)
     return params, batch_stats, skipped

@@ -41,18 +41,29 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
-        y = conv(self.out_features, 3, self.stride, name="conv_a", dtype=self.dtype)(x)
+        # A conv bias feeding BatchNorm is functionally dead: BN subtracts
+        # the batch mean, so the loss is exactly invariant to it and its
+        # gradient is exactly zero.  The reference carries these biases
+        # (Keras Conv2D default, ``cifar_resnet.py:95``) at real cost on TPU
+        # (bias-grad reduce fusions + per-variable clipnorm scalars);
+        # dropping them is an exact equivalence — the Keras importer folds
+        # any imported bias into the following BN's moving mean.
+        bias = not self.use_bn
+        y = conv(self.out_features, 3, self.stride, use_bias=bias,
+                 name="conv_a", dtype=self.dtype)(x)
         if self.use_bn:
             y = KerasBatchNorm(dtype=self.dtype, name="bn_a")(y, train)
         y = act(y)
-        y = conv(self.out_features, 3, name="conv_b", dtype=self.dtype)(y)
+        y = conv(self.out_features, 3, use_bias=bias, name="conv_b",
+                 dtype=self.dtype)(y)
         if self.use_bn:
             y = KerasBatchNorm(dtype=self.dtype, name="bn_b")(y, train)
 
         shortcut = x
         if self.in_features != self.out_features and self.conv_shortcut:
             shortcut = conv(
-                self.out_features, 1, self.stride, name="conv_sc", dtype=self.dtype
+                self.out_features, 1, self.stride, use_bias=bias,
+                name="conv_sc", dtype=self.dtype
             )(shortcut)
             if self.use_bn:
                 shortcut = KerasBatchNorm(dtype=self.dtype, name="bn_sc")(
@@ -89,7 +100,8 @@ class SmallResNet(nn.Module):
             nn.remat(ResidualBlock, static_argnums=(2,))
             if self.remat else ResidualBlock
         )
-        x = conv(self.filters[0], 3, name="conv0", dtype=self.dtype)(x)
+        x = conv(self.filters[0], 3, use_bias=not self.use_bn, name="conv0",
+                 dtype=self.dtype)(x)
         if self.use_bn:
             x = KerasBatchNorm(dtype=self.dtype, name="bn0")(x, train)
         x = act(x)

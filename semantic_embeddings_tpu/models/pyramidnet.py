@@ -33,7 +33,11 @@ class PyramidBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
-        kw = dict(kernel_init="glorot_normal", dtype=self.dtype)
+        # Every conv here feeds a BatchNorm, so conv biases are functionally
+        # dead (loss exactly invariant, gradient exactly zero); the reference
+        # carries them (Keras Conv2D default, ``cifar_pyramidnet.py``) — see
+        # cifar_resnet.ResidualBlock for the rationale and importer folding.
+        kw = dict(kernel_init="glorot_normal", use_bias=False, dtype=self.dtype)
         n = self.features
         if self.bottleneck:
             s = KerasBatchNorm(dtype=self.dtype, name="bn_in")(x, train)
@@ -80,7 +84,8 @@ class PyramidNet(nn.Module):
         n = (self.depth - 2) // (9 if self.bottleneck else 6)
         add_channel = float(self.alpha) / (3 * n)
 
-        x = conv(16, 3, name="conv0", kernel_init="glorot_normal", dtype=self.dtype)(x)
+        x = conv(16, 3, name="conv0", kernel_init="glorot_normal",
+                 use_bias=False, dtype=self.dtype)(x)
         x = KerasBatchNorm(dtype=self.dtype, name="bn0")(x, train)
 
         channels = 16.0

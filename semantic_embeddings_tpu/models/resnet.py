@@ -6,6 +6,14 @@ wrapped with GAP + Dense at ``/root/reference/utils.py:228-243``) and the
 re-implemented as one configurable Flax module: 7x7/2 stem + 3x3/2 max-pool,
 four stages of basic or bottleneck residual blocks, GAP, Dense head named
 ``embedding``/``prob``.
+
+Convs are bias-free: every conv here feeds a BatchNorm, which subtracts the
+batch mean, so the loss is exactly invariant to a conv bias and its gradient
+is exactly zero.  keras-applications carries these dead biases (Conv2D
+default) at measured cost on TPU (~2.1 ms/step of bias-grad reduce fusions
+on the @224 fwd+bwd, plus per-variable clipnorm scalars in the train step);
+the Keras importer folds any imported bias into the following BN's moving
+mean (exactly equivalent).
 """
 
 from __future__ import annotations
@@ -40,17 +48,17 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        y = conv(f, 1, self.stride, name="conv_a", dtype=self.dtype)(x)
+        y = conv(f, 1, self.stride, use_bias=False, name="conv_a", dtype=self.dtype)(x)
         y = _bn(self.dtype, "bn_a")(y, train)
         y = nn.relu(y)
-        y = conv(f, 3, name="conv_b", dtype=self.dtype)(y)
+        y = conv(f, 3, use_bias=False, name="conv_b", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_b")(y, train)
         y = nn.relu(y)
-        y = conv(f * 4, 1, name="conv_c", dtype=self.dtype)(y)
+        y = conv(f * 4, 1, use_bias=False, name="conv_c", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_c")(y, train)
         shortcut = x
         if self.project:
-            shortcut = conv(f * 4, 1, self.stride, name="conv_sc", dtype=self.dtype)(x)
+            shortcut = conv(f * 4, 1, self.stride, use_bias=False, name="conv_sc", dtype=self.dtype)(x)
             shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
         return nn.relu(y + shortcut)
 
@@ -64,14 +72,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        y = conv(f, 3, self.stride, name="conv_a", dtype=self.dtype)(x)
+        y = conv(f, 3, self.stride, use_bias=False, name="conv_a", dtype=self.dtype)(x)
         y = _bn(self.dtype, "bn_a")(y, train)
         y = nn.relu(y)
-        y = conv(f, 3, name="conv_b", dtype=self.dtype)(y)
+        y = conv(f, 3, use_bias=False, name="conv_b", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_b")(y, train)
         shortcut = x
         if self.project:
-            shortcut = conv(f, 1, self.stride, name="conv_sc", dtype=self.dtype)(x)
+            shortcut = conv(f, 1, self.stride, use_bias=False, name="conv_sc", dtype=self.dtype)(x)
             shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
         return nn.relu(y + shortcut)
 
@@ -95,7 +103,7 @@ class ResNet(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
 
-        x = conv(64, 7, 2, name="conv0", dtype=self.dtype)(x)
+        x = conv(64, 7, 2, use_bias=False, name="conv0", dtype=self.dtype)(x)
         x = _bn(self.dtype, "bn0")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, padding="SAME")

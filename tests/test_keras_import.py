@@ -87,6 +87,51 @@ def test_small_resnet_import(tmp_path):
     )
 
 
+def test_conv_bias_folds_into_bn_mean(tmp_path):
+    """BN-fed convs are bias-free here; an imported Keras conv bias must be
+    folded into the following BN's moving mean (mean - bias), which yields
+    the identical normalized output.  Importing (bias=b, mean=m) must
+    produce the exact same checkpoint as importing (bias=0, mean=m-b)."""
+    rng = np.random.default_rng(7)
+
+    def build(bias, mean):
+        layers = {"conv0": [_conv(16)[0], bias], "bn0": _bn(16)}
+        layers["bn0"][2] = mean
+        filters = {1: (16, 16), 2: (16, 32), 3: (32, 64)}
+        for s, (fin, fout) in filters.items():
+            for b in range(1, 6):
+                cin = fin if b == 1 else fout
+                layers[f"res{s}-{b}x"] = _conv(fout, cin)
+                layers[f"bn{s}-{b}x"] = _bn(fout)
+                layers[f"res{s}-{b}y"] = _conv(fout, fout)
+                layers[f"bn{s}-{b}y"] = _bn(fout)
+        return layers
+
+    b = rng.normal(size=16).astype(np.float32)
+    m = rng.normal(size=16).astype(np.float32)
+
+    from semantic_embeddings_tpu.cli.import_keras_weights import map_layers
+
+    p1, bs1, _ = map_layers(build(b, m), "resnet-32")
+    p2, bs2, _ = map_layers(build(np.zeros(16, np.float32), m - b),
+                            "resnet-32")
+
+    def flat(t):
+        return {k: v for k, v in _flatten(t).items()}
+
+    f1, f2 = flat(p1), flat(p2)
+    assert set(f1) == set(f2)
+    assert not any(k.endswith("conv0/bias") for k in f1)
+    for k in f1:
+        np.testing.assert_array_equal(f1[k], f2[k])
+    np.testing.assert_allclose(
+        _flatten(bs1)["backbone/bn0/BatchNorm_0/mean"],
+        _flatten(bs2)["backbone/bn0/BatchNorm_0/mean"], rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        _flatten(bs1)["backbone/bn0/BatchNorm_0/mean"], m - b)
+
+
 def test_shape_mismatch_raises(tmp_path):
     layers = {"conv0": _conv(99)}  # wrong width
     h5 = str(tmp_path / "bad.h5")
@@ -172,6 +217,10 @@ def test_ordered_family_import_covers_model(arch):
         w = [np.zeros(n["kernel"].shape, np.float32)]
         if "bias" in n:
             w.append(np.zeros(n["bias"].shape, np.float32))
+        elif arch.startswith("pyramidnet"):
+            # The reference PyramidNet h5 carries (dead) conv biases — ours
+            # are bias-free and the importer folds them into the BN mean.
+            w.append(np.zeros(n["kernel"].shape[-1], np.float32))
         layers[f"conv2d_{i + 1}"] = w
     for i, path in enumerate(bn_paths):
         c = node(path)["BatchNorm_0"]["scale"].shape
@@ -190,10 +239,11 @@ def test_ordered_family_import_covers_model(arch):
         c = params_tree["bn_final"]["BatchNorm_0"]["scale"].shape
         layers["bn4"] = [np.ones(c, np.float32), np.zeros(c, np.float32),
                          np.zeros(c, np.float32), np.ones(c, np.float32)]
-        # conv0/bn0 are NAMED in the reference pyramidnet (unlike WRN)
+        # conv0/bn0 are NAMED in the reference pyramidnet (unlike WRN);
+        # its h5 carries a (dead) conv0 bias that the importer folds.
         n = params_tree["conv0"]
         layers["conv0"] = [np.zeros(n["kernel"].shape, np.float32),
-                           np.zeros(n["bias"].shape, np.float32)]
+                           np.zeros(n["kernel"].shape[-1], np.float32)]
         c0 = params_tree["bn0"]["BatchNorm_0"]["scale"].shape
         layers["bn0"] = [np.ones(c0, np.float32), np.zeros(c0, np.float32),
                          np.zeros(c0, np.float32), np.ones(c0, np.float32)]
