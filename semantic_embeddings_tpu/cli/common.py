@@ -153,6 +153,19 @@ def init_model_state(model, input_size, channels, seed=0):
     return new_train_state(variables)
 
 
+def apply_pipeline_args(dataset, args):
+    """Wires ``--read_workers`` / ``--queue_size`` onto file datasets.
+
+    Mirrors the reference's ``fit_generator(..., workers=N,
+    max_queue_size=Q)`` knobs (``learn_image_embeddings.py:84-85,238-243``):
+    ``queue_size`` counts BATCHES, exactly like Keras's max_queue_size."""
+    if hasattr(dataset, "read_workers"):
+        dataset.read_workers = getattr(args, "read_workers",
+                                       dataset.read_workers)
+        dataset.queue_size = getattr(args, "queue_size", dataset.queue_size)
+    return dataset
+
+
 def extract_test_features(model, state, dataset, batch_size=100, pick=None):
     """Predicts the model output for every test image, in dataset order.
 
@@ -214,27 +227,32 @@ def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None):
 
 
 def extract_by_tap(model, variables, prepare, batches, layer=None,
-                   train_branch=False, pick=None):
+                   train_branch=False, pick=None, seed=0):
     """Extracts features at a named tap (avg_pool / embedding / l2norm /
     prob / softmax) — the TPU equivalent of the reference's ``--layer``
     sub-model extraction (``evaluate_classification_accuracy.py:27``).
 
     With ``layer=None`` the model's final output is used (``pick`` selects a
-    tuple element for multi-output models).
+    tuple element for multi-output models).  With ``train_branch=True`` the
+    augmentation RNG advances per batch, so repeated passes over the data
+    (``--augmentation_epochs``) see fresh augmentations like the
+    reference's generator does — a fixed key would silently produce
+    identical copies of every feature row.
     """
     import jax
 
     @jax.jit
-    def forward(variables, raw):
-        images, _ = prepare(raw, jax.random.PRNGKey(0), train_branch)
+    def forward(variables, raw, key):
+        images, _ = prepare(raw, key, train_branch)
         out, inter = model.apply(
             variables, images, train=False, mutable=["intermediates"]
         )
-        return out, inter["intermediates"]
+        return out, inter.get("intermediates", {})
 
+    base_key = jax.random.PRNGKey(seed)
     chunks = []
-    for raw in batches:
-        out, taps = forward(variables, raw)
+    for i, raw in enumerate(batches):
+        out, taps = forward(variables, raw, jax.random.fold_in(base_key, i))
         if layer is None:
             feats = out if pick is None else out[pick]
         else:

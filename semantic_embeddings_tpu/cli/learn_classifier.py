@@ -99,8 +99,7 @@ def main(argv=None):
 
     class_list = read_class_list(args.class_list) if args.class_list else None
     dataset = get_data_generator(args.dataset, args.data_root, classes=class_list)
-    if hasattr(dataset, "read_workers"):
-        dataset.read_workers = args.read_workers
+    common.apply_pipeline_args(dataset, args)
 
     mesh = common.resolve_mesh(args.gpus)
     import jax.numpy as jnp

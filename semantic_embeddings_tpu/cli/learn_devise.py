@@ -78,6 +78,7 @@ def main(argv=None):
     embed_labels, embedding = common.load_class_embedding(args.embedding)
     embedding = embedding / np.linalg.norm(embedding, axis=-1, keepdims=True)
     dataset = get_data_generator(args.dataset, args.data_root, classes=embed_labels)
+    common.apply_pipeline_args(dataset, args)
 
     model, spec = common.build_embedding_model(
         embedding.shape[1], args.architecture, "mse", 0  # linear output head

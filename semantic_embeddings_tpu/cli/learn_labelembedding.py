@@ -80,6 +80,7 @@ def main(argv=None):
 
     class_list = read_class_list(args.class_list) if args.class_list else None
     dataset = get_data_generator(args.dataset, args.data_root, classes=class_list)
+    common.apply_pipeline_args(dataset, args)
 
     spec = build_network(args.embed_dim, args.architecture)
     model = LabelEmbedModel(

@@ -39,29 +39,38 @@ def prefetch(iterator, size=2):
     done = object()
     stop = threading.Event()
 
+    def put_blocking(item):
+        """Enqueue, polling the stop flag so an abandoned consumer never
+        leaves the worker blocked on a full queue.  Returns False if
+        stopped.  Used for items AND the final sentinel — a put_nowait
+        sentinel would be dropped when the queue is full, deadlocking the
+        consumer at end of iteration."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
+        error = None
         try:
             for item in iterator:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_blocking(item):
                     return
-        finally:
-            try:
-                q.put_nowait(done)
-            except queue.Full:
-                pass
+        except BaseException as exc:  # re-raised in the consumer
+            error = exc
+        put_blocking((done, error))
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
     try:
         while True:
             item = q.get()
-            if item is done:
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is done:
+                if item[1] is not None:
+                    raise item[1]
                 return
             yield item
     finally:

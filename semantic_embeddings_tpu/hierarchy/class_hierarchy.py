@@ -283,12 +283,22 @@ class ClassHierarchy:
         """Normalized-LCS-height dissimilarity in [0, 1]
         (``class_hierarchy.py:199``)."""
         lcs = self._lcs_idx(self._node_index[a], self._node_index[b])
+        if lcs < 0:
+            # Disconnected forest: silently indexing _height_arr[-1] would
+            # report the two unrelated classes as (near-)maximally similar.
+            # The reference raises here too (max() over an empty hypernym
+            # intersection, class_hierarchy.py:123-140).
+            raise ValueError(f"nodes {a!r} and {b!r} share no common subsumer"
+                             " (is the hierarchy a forest?)")
         return self._height_arr[lcs] / self.max_height
 
     def wup_similarity(self, a, b):
         """Wu-Palmer similarity in (0, 1] (``class_hierarchy.py:179``)."""
         ia, ib = self._node_index[a], self._node_index[b]
         lcs = self._lcs_idx(ia, ib)
+        if lcs < 0:
+            raise ValueError(f"nodes {a!r} and {b!r} share no common subsumer"
+                             " (is the hierarchy a forest?)")
         ds = int(self._depth_max_arr[lcs])
         d1 = ds + self._ancestors(ia)[lcs]
         d2 = ds + self._ancestors(ib)[lcs]

@@ -68,12 +68,18 @@ def label_smoothing(onehot, smoothing):
     return onehot * (1.0 - smoothing) + (1.0 - onehot) * (smoothing / (n - 1))
 
 
-def labelembed_loss(out1, out2, tar, targets, tau=2.0, alpha=0.9, beta=0.5):
+def labelembed_loss(out1, out2, tar, targets, tau=2.0, alpha=0.9, beta=0.5,
+                    valid=None):
     """Label-embedding network composite loss (Sun et al.;
     ``learn_labelembedding.py:21-37``).
 
     ``out1``/``out2`` are the two classifier logit heads, ``tar`` the learned
     label-embedding logits for the true class, ``targets`` integer labels.
+
+    ``valid`` (optional, per-row 0/1): the L_emb_o2 term is *batch-coupled*
+    (each row is scaled by ``batch_size / #correct-in-batch``); on a padded
+    final eval batch that scale must be computed over the REAL rows only,
+    or one real sample inherits a scale dominated by its padding duplicates.
     """
     num_classes = out1.shape[-1]
     onehot = jax.nn.one_hot(targets, num_classes)
@@ -86,6 +92,12 @@ def labelembed_loss(out1, out2, tar, targets, tau=2.0, alpha=0.9, beta=0.5):
 
     pred = jnp.argmax(out2, axis=-1)
     mask = jax.lax.stop_gradient((pred == targets).astype(out1.dtype))
+    if valid is None:
+        n_rows = mask.shape[0]
+    else:
+        v = valid.astype(out1.dtype)
+        mask = mask * v
+        n_rows = jnp.sum(v)
 
     def xent(logit, prob):
         return jnp.sum(prob * jax.nn.log_softmax(logit), axis=-1)
@@ -95,7 +107,7 @@ def labelembed_loss(out1, out2, tar, targets, tau=2.0, alpha=0.9, beta=0.5):
     l_emb_o2 = (
         -xent(tar, tau2_prob)
         * mask
-        * (mask.shape[0] / (jnp.sum(mask) + 1e-8))
+        * (n_rows / (jnp.sum(mask) + 1e-8))
     )
     l_re = jax.nn.relu(jnp.sum(out2_prob * onehot, axis=-1) - alpha)
 

@@ -61,13 +61,16 @@ def categorical_accuracy(y_true_onehot, probs):
     ).astype(jnp.float32)
 
 
-def balanced_accuracy(y_pred, y_true, num_classes):
-    """Class-frequency-weighted ("Average") accuracy
-    (``learn_image_embeddings.py:252-255``)."""
+def balanced_accuracy(y_pred, y_true, num_classes=None):
+    """Class-frequency-weighted ("Average") accuracy, reference-exact
+    (``learn_image_embeddings.py:252-255``): the denominator is
+    ``len(np.bincount(y_true))`` = max test label + 1 — NOT the number of
+    classes present, and NOT ``num_classes`` (kept for signature compat;
+    the reference's bincount has no minlength)."""
     import numpy as np
 
     y_pred = np.asarray(y_pred)
     y_true = np.asarray(y_true)
-    freq = np.bincount(y_true, minlength=num_classes)
+    freq = np.bincount(y_true)
     correct = (y_pred == y_true).astype(np.float64)
-    return (correct / freq[y_true]).sum() / (freq > 0).sum()
+    return (correct / freq[y_true]).sum() / len(freq)

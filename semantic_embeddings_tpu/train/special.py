@@ -79,7 +79,8 @@ def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5):
             images, labels, train=False,
         )
         per_sample = L.labelembed_loss(
-            out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta
+            out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta,
+            valid=mask,
         )
         return {
             "emb_loss": (per_sample * mask).sum(),

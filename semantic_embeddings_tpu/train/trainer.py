@@ -20,6 +20,7 @@ TPU-first counterpart of the reference's ``model.compile`` +
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Callable
 
 import jax
@@ -448,7 +449,14 @@ def fit(
     val_batch_size = val_batch_size or batch_size
     if mesh is not None:
         state = replicate(mesh, state)
-    best_metric = np.inf
+    # Keras ModelCheckpoint(mode='auto') semantics (the reference's
+    # --snapshot_best path, utils.py:422-465 + keras callbacks): metrics
+    # whose name contains 'acc' or starts with 'fmeasure' are maximized,
+    # everything else (losses) minimized; a missing metric warns and skips.
+    maximize = snapshot_best is not None and (
+        "acc" in snapshot_best or snapshot_best.startswith("fmeasure")
+    )
+    best_metric = -np.inf if maximize else np.inf
     base_key = jax.random.PRNGKey(seed)
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
     # Host-side mirror of state.step: reading the device scalar every batch
@@ -459,6 +467,7 @@ def fit(
         t0 = time.time()
         epoch_lr = schedule.lr(epoch, global_step)
         n_batches = 0
+        epoch_metrics = []
         for raw in dataset.train_batches(batch_size, epoch, seed):
             if schedule.per_batch:
                 lr = schedule.lr(epoch, global_step)
@@ -479,10 +488,18 @@ def fit(
                     print(f"Wrote device trace to {profile_dir}", flush=True)
                     profile_dir = None
             state, metrics = train_step(state, raw, lr, rng)
+            epoch_metrics.append(metrics)
             global_step += 1
             n_batches += 1
+        # Epoch-mean train metrics (Keras reports running epoch averages,
+        # not the last batch).  The per-step dicts are kept as device
+        # scalars and reduced with ONE stack+mean per key at epoch end —
+        # never read per step, which would sync and serialize dispatch.
         train_metrics = {
-            k: float(v) for k, v in jax.device_get(metrics).items()
+            k: float(v) for k, v in jax.device_get({
+                k: jnp.mean(jnp.stack([m[k] for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }).items()
         } if n_batches else {}
 
         val_metrics = run_validation(
@@ -493,9 +510,15 @@ def fit(
         state = state.replace(epoch=epoch + 1)
 
         if snapshot:
-            monitored = val_metrics.get(snapshot_best or "val_loss", np.inf)
             if snapshot_best:
-                if monitored < best_metric:
+                monitored = val_metrics.get(snapshot_best)
+                if monitored is None:
+                    warnings.warn(
+                        f"Can save best model only with {snapshot_best} "
+                        f"available, skipping.", RuntimeWarning,
+                    )
+                elif (monitored > best_metric if maximize
+                      else monitored < best_metric):
                     best_metric = monitored
                     save_checkpoint(snapshot, state, {"epoch": epoch + 1})
             else:

@@ -1,0 +1,318 @@
+"""Regression tests for the round-1 self-review findings.
+
+Each test pins a bug found by cross-checking against the reference:
+prefetch sentinel drop (deadlock), Keras ModelCheckpoint mode='auto'
+semantics, forest LCS silent garbage, fixed augmentation RNG in feature
+extraction, queue_size units, epoch-mean train metrics, the reference's
+balanced-accuracy denominator, and the labelembed batch-coupled eval term.
+"""
+
+import threading
+import time
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# prefetch: sentinel must survive a full queue; worker errors must propagate
+# ---------------------------------------------------------------------------
+
+def _consume_with_watchdog(gen, timeout=20.0):
+    out, err = [], []
+
+    def run():
+        try:
+            out.extend(gen)
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    assert not t.is_alive(), "prefetch consumer deadlocked (sentinel lost)"
+    return out, err
+
+
+def test_prefetch_sentinel_not_dropped_when_queue_full():
+    from semantic_embeddings_tpu.data.files import prefetch
+
+    def slow_consumer_items():
+        for i in range(5):
+            yield i
+
+    # size=1: the worker fills the queue and exhausts while the consumer
+    # is still slow — the done sentinel used to be put_nowait and dropped.
+    gen = prefetch(slow_consumer_items(), size=1)
+
+    def consume():
+        for item in gen:
+            time.sleep(0.05)  # keep the queue full at iterator exhaustion
+            yield item
+
+    out, err = _consume_with_watchdog(consume())
+    assert out == [0, 1, 2, 3, 4]
+    assert not err
+
+
+def test_prefetch_propagates_worker_exception():
+    from semantic_embeddings_tpu.data.files import prefetch
+
+    def bad_iterator():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    out, err = _consume_with_watchdog(prefetch(bad_iterator(), size=2))
+    assert out == [1]
+    assert len(err) == 1 and "decode failed" in str(err[0])
+
+
+def test_prefetch_early_close_stops_worker():
+    from semantic_embeddings_tpu.data.files import prefetch
+
+    stopped = threading.Event()
+
+    def items():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            stopped.set()
+
+    gen = prefetch(items(), size=1)
+    assert next(gen) == 0
+    gen.close()
+    assert stopped.wait(5.0), "worker kept running after consumer close"
+
+
+# ---------------------------------------------------------------------------
+# fit(): snapshot_best mode='auto', missing-metric warning, epoch-mean metrics
+# ---------------------------------------------------------------------------
+
+class _StubData:
+    def __init__(self, n_batches=3):
+        self.n = n_batches
+
+    def steps_per_epoch(self, batch_size):
+        return self.n
+
+    def train_batches(self, batch_size, epoch, seed):
+        for i in range(self.n):
+            yield {"i": i}
+
+    def test_batches(self, batch_size):
+        yield {"i": 0}
+
+
+def _stub_state():
+    from semantic_embeddings_tpu.train import new_train_state
+
+    return new_train_state(
+        {"params": {"w": jnp.zeros((1,))}, "batch_stats": {}}
+    )
+
+
+def _fit(state, accs_per_epoch, losses_per_batch, **kw):
+    """Runs fit() with stub steps; returns (state, logged, saved_epochs)."""
+    from semantic_embeddings_tpu.train.schedules import PiecewiseSchedule
+    from semantic_embeddings_tpu.train.trainer import fit
+
+    epoch_idx = {"v": 0}
+
+    def train_step(state, raw, lr, rng):
+        return (
+            state.replace(step=state.step + 1),
+            {"loss": jnp.asarray(losses_per_batch[int(raw["i"])],
+                                 jnp.float32)},
+        )
+
+    def eval_step(state, raw, rng):
+        acc = accs_per_epoch[min(epoch_idx["v"], len(accs_per_epoch) - 1)]
+        epoch_idx["v"] += 1
+        return {"emb_correct": acc, "count": 1.0, "total_loss": 1.0 - acc}
+
+    logged = []
+    state = fit(
+        state, train_step, eval_step, _StubData(len(losses_per_batch)),
+        PiecewiseSchedule([(0, 0.1)]),
+        epochs=len(accs_per_epoch), batch_size=4, verbose=False,
+        log_fn=lambda e, m: logged.append(m), **kw,
+    )
+    return state, logged
+
+
+def test_snapshot_best_maximizes_accuracy_metrics(tmp_path):
+    from semantic_embeddings_tpu.train.state import load_checkpoint_raw
+
+    snap = str(tmp_path / "best.ckpt")
+    # acc up then down: the best checkpoint is epoch 2, NOT epoch 3 (the
+    # reference's keras ModelCheckpoint(mode='auto') maximizes '*acc*').
+    _fit(_stub_state(), [0.3, 0.5, 0.2], [0.0], snapshot=snap,
+         snapshot_best="emb_acc")
+    _, meta = load_checkpoint_raw(snap)
+    assert meta["epoch"] == 2
+
+
+def test_snapshot_best_minimizes_losses(tmp_path):
+    from semantic_embeddings_tpu.train.state import load_checkpoint_raw
+
+    snap = str(tmp_path / "best.ckpt")
+    _fit(_stub_state(), [0.3, 0.5, 0.2], [0.0], snapshot=snap,
+         snapshot_best="val_loss")  # val_loss = 1 - acc: best at epoch 2
+    _, meta = load_checkpoint_raw(snap)
+    assert meta["epoch"] == 2
+
+
+def test_snapshot_best_missing_metric_warns_not_silent(tmp_path):
+    import os
+
+    snap = str(tmp_path / "best.ckpt")
+    with pytest.warns(RuntimeWarning, match="bogus_metric"):
+        _fit(_stub_state(), [0.3, 0.5], [0.0], snapshot=snap,
+             snapshot_best="bogus_metric")
+    assert not os.path.exists(snap)
+
+
+def test_train_metrics_are_epoch_means_not_last_batch():
+    # Per-batch losses 0, 1, 2 -> the logged epoch 'loss' must be 1.0
+    # (Keras reports running epoch averages), not the last batch's 2.0.
+    _, logged = _fit(_stub_state(), [0.5], [0.0, 1.0, 2.0])
+    assert logged[0]["loss"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy: disconnected forests must raise, not return garbage
+# ---------------------------------------------------------------------------
+
+def test_lcs_height_raises_on_forest():
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    # Two disconnected trees: {r1 -> a, b} and {r2 -> c}.
+    h = ClassHierarchy(
+        parents={"a": ["r1"], "b": ["r1"], "c": ["r2"]},
+        children={"r1": ["a", "b"], "r2": ["c"]},
+    )
+    assert h.lcs_height("a", "b") == pytest.approx(
+        h._height_arr[h._node_index["r1"]] / h.max_height
+    )
+    assert h.lcs("a", "c") is None  # documented None for the plain lcs API
+    with pytest.raises(ValueError, match="common subsumer"):
+        h.lcs_height("a", "c")
+    with pytest.raises(ValueError, match="common subsumer"):
+        h.wup_similarity("a", "c")
+
+
+# ---------------------------------------------------------------------------
+# balanced accuracy: reference denominator is len(bincount), not classes seen
+# ---------------------------------------------------------------------------
+
+def test_balanced_accuracy_reference_denominator():
+    from semantic_embeddings_tpu.train.metrics import balanced_accuracy
+
+    # Class 1 absent from the test labels: the reference divides by
+    # len(np.bincount(y_true)) = 3 (learn_image_embeddings.py:252-255).
+    y_true = np.array([0, 0, 2])
+    y_pred = np.array([0, 0, 2])
+    ref = ((y_pred == y_true) / np.bincount(y_true)[y_true]).sum() / len(
+        np.bincount(y_true)
+    )
+    assert balanced_accuracy(y_pred, y_true, num_classes=10) == pytest.approx(ref)
+    assert ref == pytest.approx(2.0 / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# labelembed loss: padded eval rows must not skew the batch-coupled term
+# ---------------------------------------------------------------------------
+
+def test_labelembed_eval_ignores_padded_rows():
+    from semantic_embeddings_tpu.train.losses import labelembed_loss
+
+    rng = np.random.default_rng(0)
+    k, pad, c = 3, 5, 7
+    out1 = rng.normal(size=(k + pad, c)).astype(np.float32)
+    out2 = rng.normal(size=(k + pad, c)).astype(np.float32)
+    tar = rng.normal(size=(k + pad, c)).astype(np.float32)
+    labels = rng.integers(0, c, k + pad)
+    # Padding duplicates the last real row (the masked-batch convention).
+    for arr in (out1, out2, tar, labels):
+        arr[k:] = arr[k - 1]
+    valid = np.array([1.0] * k + [0.0] * pad, np.float32)
+
+    masked = labelembed_loss(
+        jnp.asarray(out1), jnp.asarray(out2), jnp.asarray(tar),
+        jnp.asarray(labels), valid=jnp.asarray(valid),
+    )
+    real = labelembed_loss(
+        jnp.asarray(out1[:k]), jnp.asarray(out2[:k]), jnp.asarray(tar[:k]),
+        jnp.asarray(labels[:k]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked[:k]), np.asarray(real), rtol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# extract_by_tap: --augmentation_epochs must see fresh augmentations
+# ---------------------------------------------------------------------------
+
+def test_feature_extraction_augmentations_differ_across_epochs():
+    import flax.linen as nn
+
+    from semantic_embeddings_tpu.cli.common import extract_by_tap
+    from semantic_embeddings_tpu.data import SyntheticDataset
+
+    class Probe(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return jnp.mean(x, axis=(1, 2))  # (B, C) summary of the pixels
+
+    dataset = SyntheticDataset(num_classes=4, n_train=8, n_test=4, size=8)
+    model = Probe()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    prepare = dataset.make_prepare(augment_train=True)
+
+    batches = list(dataset.train_eval_batches(8, augment=True, epochs=2))
+    feats = extract_by_tap(model, variables, prepare, batches,
+                           train_branch=True)
+    e1, e2 = feats[:8], feats[8:]
+    assert not np.allclose(e1, e2), (
+        "identical augmentations across --augmentation_epochs passes"
+    )
+    # Deterministic under the same seed.
+    feats_again = extract_by_tap(model, variables, prepare, iter(batches),
+                                 train_branch=True)
+    np.testing.assert_allclose(feats, feats_again, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# pipeline args: all learners wire --read_workers/--queue_size (in batches)
+# ---------------------------------------------------------------------------
+
+def test_apply_pipeline_args_units_and_wiring():
+    from semantic_embeddings_tpu.cli.common import apply_pipeline_args
+
+    ds = types.SimpleNamespace(read_workers=8, queue_size=4)
+    args = types.SimpleNamespace(read_workers=32, queue_size=100,
+                                 batch_size=256)
+    apply_pipeline_args(ds, args)
+    assert ds.read_workers == 32
+    assert ds.queue_size == 100  # batches, like Keras max_queue_size
+
+    # Learner CLIs must all call the helper after building their dataset.
+    import inspect
+
+    from semantic_embeddings_tpu.cli import (
+        learn_center_loss,
+        learn_classifier,
+        learn_devise,
+        learn_image_embeddings,
+        learn_labelembedding,
+    )
+
+    for mod in (learn_image_embeddings, learn_classifier, learn_devise,
+                learn_labelembedding, learn_center_loss):
+        assert "apply_pipeline_args" in inspect.getsource(mod), mod.__name__
