@@ -32,6 +32,13 @@ from . import losses as L
 from .optimizer import sgd_update
 from .state import TrainState
 
+#: Device-side running sum for per-epoch metric averaging (fit()): one tiny
+#: fixed-shape jitted dispatch per step, accumulator buffers donated.
+_tree_add = jax.jit(
+    lambda acc, new: jax.tree_util.tree_map(jnp.add, acc, new),
+    donate_argnums=(0,),
+)
+
 EMB_LOSSES = {
     "mse": L.squared_distance,
     "inv_corr": L.inv_correlation,
@@ -467,7 +474,7 @@ def fit(
         t0 = time.time()
         epoch_lr = schedule.lr(epoch, global_step)
         n_batches = 0
-        epoch_metrics = []
+        metric_sums = None
         for raw in dataset.train_batches(batch_size, epoch, seed):
             if schedule.per_batch:
                 lr = schedule.lr(epoch, global_step)
@@ -488,18 +495,21 @@ def fit(
                     print(f"Wrote device trace to {profile_dir}", flush=True)
                     profile_dir = None
             state, metrics = train_step(state, raw, lr, rng)
-            epoch_metrics.append(metrics)
+            # Epoch-mean train metrics (Keras reports running epoch
+            # averages, not the last batch).  Accumulated as a device-side
+            # running sum via one small jitted add per step: never read per
+            # step (a sync would serialize dispatch), fixed shapes (a
+            # stack-at-epoch-end would compile an N-ary concat per distinct
+            # epoch length), fetched once per epoch.
+            metric_sums = (
+                metrics if metric_sums is None
+                else _tree_add(metric_sums, metrics)
+            )
             global_step += 1
             n_batches += 1
-        # Epoch-mean train metrics (Keras reports running epoch averages,
-        # not the last batch).  The per-step dicts are kept as device
-        # scalars and reduced with ONE stack+mean per key at epoch end —
-        # never read per step, which would sync and serialize dispatch.
         train_metrics = {
-            k: float(v) for k, v in jax.device_get({
-                k: jnp.mean(jnp.stack([m[k] for m in epoch_metrics]))
-                for k in epoch_metrics[0]
-            }).items()
+            k: float(v) / n_batches
+            for k, v in jax.device_get(metric_sums).items()
         } if n_batches else {}
 
         val_metrics = run_validation(
