@@ -111,6 +111,48 @@ def test_graft_dryrun():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_fit_under_mesh_matches_single_device(setup):
+    """The full fit() loop (incl. the device-side epoch-metric accumulator
+    and snapshotting path) must give the same parameters and epoch-mean
+    metrics sharded as on one device."""
+    from semantic_embeddings_tpu.train import make_eval_step, make_train_step
+    from semantic_embeddings_tpu.train.schedules import PiecewiseSchedule
+    from semantic_embeddings_tpu.train.trainer import fit
+
+    embedding, dataset, spec, model, variables = setup
+    prepare = dataset.make_prepare(augment_train=False)
+    kwargs = dict(loss_name="inv_corr", class_embedding=embedding,
+                  l2_penalty_fn=spec.l2_penalty, clipnorm=10.0)
+
+    def run(mesh):
+        state = new_train_state(variables)
+        train_step = make_train_step(model, prepare, mesh=mesh, **kwargs)
+        eval_step = make_eval_step(model, prepare, mesh=mesh,
+                                   loss_name="inv_corr",
+                                   class_embedding=embedding)
+        logged = []
+        state = fit(
+            state, train_step, eval_step, dataset,
+            PiecewiseSchedule([(0, 0.1)]), epochs=2, batch_size=32,
+            verbose=False, mesh=mesh,
+            log_fn=lambda e, m: logged.append(m),
+        )
+        return state, logged
+
+    state1, logged1 = run(None)
+    state8, logged8 = run(get_mesh(8))
+    # 2 epochs x 2 steps accumulate f32 reduction-order drift (sharded
+    # psum order); the single-STEP equality test above pins 1e-5.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state8.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    for m1, m8 in zip(logged1, logged8):
+        for k in m1:
+            assert m1[k] == pytest.approx(m8[k], abs=1e-4), k
+
+
 def test_sharded_topk_retrieval_matches_single(setup):
     """The top_k prefix fast path under a mesh (sharded query blocks) must
     match single-device results."""
