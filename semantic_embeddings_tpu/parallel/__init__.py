@@ -4,6 +4,8 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     get_mesh,
+    initialize_distributed,
+    process_slice,
     replicate,
     replicated,
     shard_batch,
@@ -12,6 +14,8 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "get_mesh",
+    "initialize_distributed",
+    "process_slice",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -41,11 +41,78 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_batch(mesh: Mesh, batch):
+def initialize_distributed():
+    """Multi-host bring-up: call once at program start on every host.
+
+    No-op when single-process (the common case here).  On a multi-host
+    TPU slice, ``jax.distributed.initialize()`` picks up the coordinator
+    from the TPU environment (or ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``); afterwards
+    ``jax.devices()`` spans every host, so ``get_mesh()`` builds the
+    global mesh and the same pjit-sharded step runs SPMD across hosts —
+    gradient psum over ICI within a slice, DCN across slices, all
+    through XLA collectives.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+
+
+def process_slice(n: int, process_index=None, process_count=None):
+    """The contiguous [start, stop) rows of a global batch of ``n`` that
+    THIS process must provide (hosts feed equal contiguous slices, in
+    process order, matching the device order of :func:`get_mesh`).
+
+    Pure math so the multi-host layout is unit-testable without a
+    multi-process run; ``n`` must divide evenly across processes (the
+    batch builders pad to full batches already).
+    """
+    idx = jax.process_index() if process_index is None else process_index
+    cnt = jax.process_count() if process_count is None else process_count
+    if n % cnt:
+        raise ValueError(f"global batch {n} not divisible by {cnt} hosts")
+    per = n // cnt
+    return idx * per, (idx + 1) * per
+
+
+def shard_batch(mesh: Mesh, batch, global_batch=None):
     """Places a pytree of host arrays on the mesh, batch-axis sharded
-    (scalars and rank-0 leaves are replicated)."""
+    (scalars and rank-0 leaves are replicated).
+
+    Single-process: plain ``device_put`` of the full batch.  Multi-host:
+    each process passes either the FULL global batch (its local slice is
+    taken via :func:`process_slice`) or just its local rows (then
+    ``global_batch`` must give the global leading dim), and the global
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    no cross-host data movement.
+    """
     data = batch_sharding(mesh)
     rep = replicated(mesh)
+
+    if jax.process_count() > 1:
+        cnt = jax.process_count()
+
+        def put_local(x):
+            x = np.asarray(x)
+            if x.ndim == 0:
+                return jax.device_put(x, rep)
+            n = x.shape[0] if global_batch is None else int(global_batch)
+            if x.shape[0] == n:  # full global batch on this host: slice it
+                start, stop = process_slice(n)
+                x = x[start:stop]
+            elif x.shape[0] != n // cnt:
+                raise ValueError(
+                    f"leaf leading dim {x.shape[0]} is neither the global "
+                    f"batch {n} nor the local share {n // cnt}"
+                )
+            return jax.make_array_from_process_local_data(data, x)
+
+        return jax.tree_util.tree_map(put_local, batch)
 
     def put(x):
         x = np.asarray(x)

@@ -177,3 +177,36 @@ def test_sharded_topk_retrieval_matches_single(setup):
     assert "AHP@12 (WUP)" in single
     for name in single:
         assert single[name] == pytest.approx(sharded[name], abs=1e-6), name
+
+
+def test_process_slice_math():
+    """Multi-host batch slicing is pure math (unit-testable without a
+    multi-process run): contiguous equal slices in process order."""
+    from semantic_embeddings_tpu.parallel import process_slice
+
+    slices = [process_slice(256, i, 4) for i in range(4)]
+    assert slices == [(0, 64), (64, 128), (128, 192), (192, 256)]
+    assert process_slice(8, 0, 1) == (0, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        process_slice(10, 0, 4)
+
+
+def test_initialize_distributed_is_noop_single_process():
+    from semantic_embeddings_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # must not raise or try to reach a coordinator
+    assert jax.process_count() == 1
+
+
+def test_shard_batch_single_process_unchanged(setup):
+    """With one process, shard_batch must behave exactly as before
+    (device_put path), including replicating scalars."""
+    from semantic_embeddings_tpu.parallel import shard_batch as sb
+
+    mesh = get_mesh(8)
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(32, 1),
+             "s": np.float32(3.0)}
+    out = sb(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert float(out["s"]) == 3.0
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("data")
