@@ -21,12 +21,17 @@ from ..train import LOSS_OUTPUT, new_train_state
 
 
 def ensure_compile_cache():
-    """Enables JAX's persistent compilation cache for all CLIs.
+    """Per-CLI startup: multi-host init + persistent compilation cache.
 
-    On this class of environment XLA compiles can take minutes (remote
-    compile service); caching makes every rerun of a CLI start hot.
-    Honours JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
+    Multi-host first — ``jax.distributed.initialize`` must run before any
+    device query (no-op single-process).  Then the compile cache: on this
+    class of environment XLA compiles can take minutes (remote compile
+    service); caching makes every rerun of a CLI start hot.  Honours
+    JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
     """
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/semantic_embeddings_tpu/xla"),
