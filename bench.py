@@ -60,7 +60,13 @@ def main():
         embedding = unitsphere_embedding(
             1.0 - semantic_distance_matrix(h, leaves)
         ).astype(np.float32)
-    except Exception:
+    except Exception as e:
+        # Throughput is target-independent, but say so loudly: one-hot
+        # targets are NOT the headline CIFAR-taxonomy config.
+        import sys
+
+        print(f"WARNING: CIFAR taxonomy unavailable ({e}); benchmarking "
+              "against one-hot targets.", file=sys.stderr)
         embedding = np.eye(100, dtype=np.float32)
 
     import os

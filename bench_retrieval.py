@@ -40,17 +40,17 @@ def main():
         feats[i, l] += 2.0
     feats /= np.linalg.norm(feats, axis=1, keepdims=True)
 
-    # Warm-up (compile)
-    evaluate_retrieval_features(
-        feats[:2048], labels[:2048], h, ks=[1, 10, 50, 100],
-        compute_ahp=250, compute_ap=True, normalize=True, block_size=2048,
-    )
-    t0 = time.perf_counter()
-    means, _ = evaluate_retrieval_features(
-        feats, labels, h, ks=[1, 10, 50, 100],
-        compute_ahp=250, compute_ap=True, normalize=True, block_size=2048,
-    )
-    elapsed = time.perf_counter() - t0
+    kwargs = dict(ks=[1, 10, 50, 100], compute_ahp=250, compute_ap=True,
+                  normalize=True, block_size=2048)
+    # Warm-up at the REAL shapes (a smaller warm-up database would compile a
+    # different (B, N) GEMM/sort program and leave the compile inside the
+    # timed region), then best-of-2 timed runs.
+    evaluate_retrieval_features(feats, labels, h, **kwargs)
+    elapsed = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        means, _ = evaluate_retrieval_features(feats, labels, h, **kwargs)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     print(
         json.dumps(

@@ -45,6 +45,10 @@ def reference_dir():
     return REFERENCE
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def rng():
+    """Fresh fixed-seed generator per MODULE (some module-scoped data
+    fixtures consume it): with the old session-scoped shared generator,
+    each test file's draws depended on how many other files ran before
+    it, so data varied with test selection/order."""
     return np.random.default_rng(0)

@@ -41,6 +41,9 @@ SURFACES = [
     ("encode_hierarchy", ["--format", "--meta_file", "--one_based"]),
     ("import_keras_weights", ["--h5", "--architecture", "--embed_dim",
                               "--out"]),
+    ("export_model", ["--checkpoint", "--architecture", "--out", "--layer",
+                      "--input_size", "--input_channels", "--batch",
+                      "--platforms", "--validate"]),
 ]
 
 

@@ -176,7 +176,6 @@ def _prepare(raw, rng, train):
 def toy_setup():
     class_emb = np.eye(4, dtype=np.float32)
     spec = build_network(4, "simple", input_channels=3)
-    spec.module.__dict__  # no-op
     model = EmbeddingModel(backbone=spec.module, output="l2norm")
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)), train=False

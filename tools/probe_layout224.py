@@ -211,8 +211,13 @@ def main():
         if args.trace:
             tdir = f"{args.trace.rstrip('/')}/{variant}"
             jax.profiler.start_trace(tdir)
-            for _ in range(10):
-                g = step(params, x)
+            g = step(params, x)
+            for _ in range(9):
+                # Chain a dependency: identical independent dispatches are
+                # served without re-executing on this backend (see time_fn).
+                gl = jax.tree_util.tree_leaves(g)[0]
+                x2 = x + (0 * gl.astype(x.dtype)).sum()
+                g = step(params, x2)
             jax.block_until_ready(g)
             jax.profiler.stop_trace()
             print(f"  trace -> {tdir}", flush=True)

@@ -71,13 +71,17 @@ def main():
             return jnp.mean(x, axis=(1, 2))
 
     class Transition(nn.Module):
+        """The real stage2->stage3 boundary of ResNet-50 @224: one 28^2x512
+        stage-2 block (features=128), the stride-2 projection block into
+        14^2x1024 (features=256), one stage-3 block."""
+
         @nn.compact
         def __call__(self, x, train=False):
-            x = BottleneckBlock(features=256, dtype=jnp.bfloat16,
+            x = BottleneckBlock(features=128, dtype=jnp.bfloat16,
                                 name="pre")(x, train)
-            x = BottleneckBlock(features=512, stride=2, project=True,
+            x = BottleneckBlock(features=256, stride=2, project=True,
                                 dtype=jnp.bfloat16, name="down")(x, train)
-            x = BottleneckBlock(features=512, dtype=jnp.bfloat16,
+            x = BottleneckBlock(features=256, dtype=jnp.bfloat16,
                                 name="post")(x, train)
             return x
 
@@ -85,7 +89,7 @@ def main():
         "full": (ResNet(depth=50, classes=100, dtype=jnp.bfloat16),
                  (BATCH, 224, 224, 3)),
         "headless": (Headless(), (BATCH, 56, 56, 64)),
-        "transition": (Transition(), (BATCH, 28, 28, 1024)),
+        "transition": (Transition(), (BATCH, 28, 28, 512)),
     }
 
     variants = list(configs) if args.variant == "all" else [args.variant]
