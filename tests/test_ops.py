@@ -61,3 +61,55 @@ def test_under_jit_and_vmapless_shapes(data):
     # Odd batch size (not a multiple of the kernel tile).
     val2 = float(jitted(z[:37], t[:37]))
     assert np.isfinite(val2)
+
+
+class TestExactTopK:
+    """ops/topk.exact_topk must equal lax.top_k exactly, including tie
+    order (smallest index wins), for any chunking."""
+
+    def test_randomized_tie_parity(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from semantic_embeddings_tpu.ops.topk import exact_topk
+
+        rng = np.random.default_rng(7)
+        for _ in range(30):
+            b = int(rng.integers(1, 4))
+            n = int(rng.integers(10, 3000))
+            k = int(rng.integers(1, min(n, 260) + 1))
+            chunk = int(rng.integers(max(k, 8), 600))
+            # heavy ties: few distinct values
+            x = jnp.asarray(rng.integers(0, 5, (b, n)).astype(np.float32))
+            v1, i1 = lax.top_k(x, k)
+            v2, i2 = exact_topk(x, k, chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_small_row_passthrough_and_payload(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from semantic_embeddings_tpu.ops.topk import (
+            exact_topk,
+            exact_topk_payload,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 40)).astype(np.float32))
+        v, i = exact_topk(x, 5, chunk=64)  # n <= chunk: lax.top_k path
+        vr, ir = lax.top_k(x, 5)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+        payload = jnp.asarray(rng.integers(0, 9, 40))
+        v2, p2 = exact_topk_payload(x, payload, 5, chunk=8)
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(payload[ir]))
+
+    def test_k_too_large_raises(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from semantic_embeddings_tpu.ops.topk import exact_topk
+
+        with pytest.raises(ValueError, match="k=9"):
+            exact_topk(jnp.zeros((1, 4)), 9)
