@@ -51,7 +51,9 @@ def unitsphere_embedding(class_sim, device=False):
         if device:
             import jax
 
-            with jax.experimental.enable_x64():
+            # jax.experimental.enable_x64 was removed in JAX 0.9;
+            # jax.enable_x64 is the context manager since then.
+            with jax.enable_x64(True):
                 emb = np.asarray(
                     jax.numpy.linalg.cholesky(jax.numpy.asarray(class_sim))
                 )

@@ -219,7 +219,20 @@ def hierarchical_precision(
                         "ignore_qids=False."
                     )
             q_idx = np.array([id_index[q] for q in block_q])
-            q_pos = np.argmax(positions == q_idx[:, None], axis=1)
+            found = positions == q_idx[:, None]
+            q_pos = np.argmax(found, axis=1)
+            if not found.any(axis=1).all():
+                # argmax over an all-False row returns 0, which would
+                # silently delete the top-ranked RESULT as if it were the
+                # query; a ranking of the right length that omits its own
+                # query id is malformed input (duplicated some other id).
+                bad = [q for q, ok in zip(block_q, found.any(axis=1))
+                       if not ok]
+                raise ValueError(
+                    f"Ranking for query id(s) {bad[:5]!r} does not contain "
+                    "the query itself (malformed ranking with duplicate "
+                    "ids?)"
+                )
         else:
             q_pos = None
         result = ev.process(q_cls, positions, q_pos)

@@ -63,8 +63,6 @@ def pairwise_ranking_blocks(features, normalize=False, block_size=1024,
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
     n = feats.shape[0]
     if mesh is not None:
-        import jax
-
         from ..parallel import batch_sharding, replicated
 
         n_dev = mesh.devices.size
@@ -112,7 +110,7 @@ def pairwise_retrieval(features, normalize=False, return_generator=True):
     return gen() if return_generator else dict(gen())
 
 
-def _device_metric_fn(evaluator, normalize, n_items, topk=None):
+def _device_metric_fn(evaluator, normalize, topk=None):
     """One jitted call: query block -> ranking -> HP/AHP/AP scalars.
 
     Fuses the GEMM, sort, class gathers, cumulative sums and metric
@@ -126,8 +124,6 @@ def _device_metric_fn(evaluator, normalize, n_items, topk=None):
     only the top 250 of 50k, and the optimal-cumsum tables shrink from
     (C, N-1) to (C, topk).
     """
-    import jax
-
     ks = evaluator.ks
     compute_ahp = evaluator.compute_ahp
     compute_ap = evaluator.compute_ap
@@ -247,10 +243,15 @@ def evaluate_retrieval_features(
     tunneled backend).
     Returns ``(means, per_query)`` with the reference's metric names.
     """
-    import jax
-
     ids, feats = load_features(features)
     labels = list(labels)
+    if len(labels) != len(feats):
+        # jnp gathers CLAMP out-of-bounds indices, so a short labels list
+        # would silently misattribute every item beyond its end instead of
+        # raising like the host path does.
+        raise ValueError(
+            f"labels has {len(labels)} entries for {len(feats)} feature rows"
+        )
     classes = list(dict.fromkeys(labels))
     class_index = {c: i for i, c in enumerate(classes)}
     db_classes = np.array([class_index[l] for l in labels], dtype=np.int64)
@@ -279,7 +280,7 @@ def evaluate_retrieval_features(
         # ~2 GB f32 similarity block, power-of-two, within [1024, 8192].
         block_size = int(min(8192, max(1024, 2 ** int(np.log2(
             max(1.0, 2e9 / 4.0 / max(n, 1)))))))
-    block_metrics = _device_metric_fn(evaluator, normalize, n, topk=topk)
+    block_metrics = _device_metric_fn(evaluator, normalize, topk=topk)
     if mesh is not None:
         from ..parallel import batch_sharding, replicated
 

@@ -293,15 +293,27 @@ class ClassHierarchy:
         return self._height_arr[lcs] / self.max_height
 
     def wup_similarity(self, a, b):
-        """Wu-Palmer similarity in (0, 1] (``class_hierarchy.py:179``)."""
+        """Wu-Palmer similarity in (0, 1] (``class_hierarchy.py:179``).
+
+        Reference-exact distance semantics: ``d1 = depth(LCS) +
+        shortest_path_length(a, LCS)`` (``class_hierarchy.py:192-193``),
+        where the shortest path may route through a *shallower* common
+        hypernym of ``a`` and the LCS (``:143-156``) — on multi-parent
+        DAGs this can be shorter than the direct upward distance.  Every
+        common hypernym of ``x`` and the LCS is an ancestor of the LCS, so
+        the route minimum runs over ``ancestors(LCS)``.
+        """
         ia, ib = self._node_index[a], self._node_index[b]
         lcs = self._lcs_idx(ia, ib)
         if lcs < 0:
             raise ValueError(f"nodes {a!r} and {b!r} share no common subsumer"
                              " (is the hierarchy a forest?)")
         ds = int(self._depth_max_arr[lcs])
-        d1 = ds + self._ancestors(ia)[lcs]
-        d2 = ds + self._ancestors(ib)[lcs]
+        anc_l = self._ancestors(lcs)
+        anc_a = self._ancestors(ia)
+        anc_b = self._ancestors(ib)
+        d1 = ds + min(anc_a[h] + dh for h, dh in anc_l.items())
+        d2 = ds + min(anc_b[h] + dh for h, dh in anc_l.items())
         return (2.0 * ds) / (d1 + d2)
 
     # ------------------------------------------------------------------

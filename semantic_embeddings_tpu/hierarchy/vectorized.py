@@ -149,6 +149,23 @@ def pairwise_matrices(hierarchy, classes, compute_wup=True, dtype=np.float64):
     order = np.argsort(-score, kind="stable")
     groups = np.split(order, np.flatnonzero(np.diff(score[order]) != 0) + 1)
 
+    routed = None
+    if compute_wup and not tree:
+        # Routed class->node distances, reference shortest_path semantics
+        # (class_hierarchy.py:143-156): R[i, u] = min over ancestors h of u
+        # of dist(i, h) + dist(u, h) — on a DAG this can undercut the
+        # direct upward distance by routing through a shallower hypernym.
+        union_col = {int(node): i for i, node in enumerate(anc_nodes)}
+        routed = np.empty_like(dist, dtype=np.int64)
+        dist64 = dist.astype(np.int64)
+        for col, node in enumerate(anc_nodes):
+            anc_u = hierarchy._ancestors(int(node))
+            cols_u = np.fromiter((union_col[h] for h in anc_u),
+                                 dtype=np.int64, count=len(anc_u))
+            d_u = np.fromiter(anc_u.values(), dtype=np.int64,
+                              count=len(anc_u))
+            routed[:, col] = (dist64[:, cols_u] + d_u[None, :]).min(axis=1)
+
     for cols in groups:
         if not remaining.any():
             break
@@ -163,12 +180,25 @@ def pairwise_matrices(hierarchy, classes, compute_wup=True, dtype=np.float64):
         lcs_h[newly] = g_height / max_height
         lcs_depth[newly] = g_depth
         if compute_wup and not tree:
-            # dist(i, lcs) + dist(j, lcs), minimized over the group's nodes.
-            dmin = np.full((n, n), _BIG, dtype=np.int64)
-            for u in cols:
-                du = dist[:, u].astype(np.int64)
-                np.minimum(dmin, du[:, None] + du[None, :], out=dmin)
-            wup[newly] = (2.0 * g_depth) / (2.0 * g_depth + dmin[newly])
+            # Per-pair LCS pick identical to the scalar API's tie-break
+            # (_lcs_idx: max depth, min height, then MIN NODE INDEX): walk
+            # the group's nodes in ascending index and assign each pair at
+            # its first common node, with the reference WUP formula
+            # 2 ds / (2 ds + routed(i, lcs) + routed(j, lcs)).
+            cols_by_index = cols[np.argsort(anc_nodes[cols], kind="stable")]
+            group_pending = newly.copy()
+            for u in cols_by_index:
+                if not group_pending.any():
+                    break
+                pu = mask[:, u]
+                pairs = group_pending & np.logical_and.outer(pu, pu)
+                if not pairs.any():
+                    continue
+                ru = routed[:, u]
+                wup[pairs] = (2.0 * g_depth) / (
+                    2.0 * g_depth + (ru[:, None] + ru[None, :])[pairs]
+                )
+                group_pending &= ~pairs
         remaining &= ~shared
 
     if remaining.any():

@@ -156,3 +156,68 @@ def test_random_tree_wup_lcs_vs_oracle(reference_dir, seed):
                 ref.wup_similarity(a, b), abs=1e-10), (a, b)
             assert mats["lcs_height"][i, j] == pytest.approx(
                 ref.lcs_height(a, b), abs=1e-10), (a, b)
+
+
+def test_dag_wup_routed_distances_match_reference(reference_dir):
+    """On multi-parent DAGs the reference's WUP distances route through
+    shallower common hypernyms (shortest_path_length, class_hierarchy.py:
+    143-156,192-193) — NOT the direct upward distance.  Repro from review:
+    the L-vs-R routing case, plus randomized DAG parity on every pair
+    whose max-depth subsumer is unique (where the reference's own pick is
+    well-defined)."""
+    import sys
+
+    sys.path.insert(0, reference_dir)
+    import class_hierarchy as ref_mod
+
+    parents = {"L": ["R"], "c2": ["L"], "c1": ["c2"], "a": ["c1", "R"],
+               "b": ["L"]}
+    children = {}
+    for c, ps in parents.items():
+        for p in ps:
+            children.setdefault(p, []).append(c)
+    h = ClassHierarchy({k: list(v) for k, v in parents.items()},
+                       {k: list(v) for k, v in children.items()})
+    ref = ref_mod.ClassHierarchy({k: list(v) for k, v in parents.items()},
+                                 {k: list(v) for k, v in children.items()})
+    assert h.wup_similarity("a", "b") == pytest.approx(
+        ref.wup_similarity("a", "b"))
+    assert h.wup_similarity("a", "b") == pytest.approx(4.0 / 7.0)
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        n_nodes = int(rng.integers(8, 32))
+        parents, children = {}, {}
+        for v in range(1, n_nodes):
+            ps = rng.choice(v, size=min(1 + (rng.random() < 0.3), v),
+                            replace=False)
+            parents[v] = [int(p) for p in ps]
+            for p in ps:
+                children.setdefault(int(p), []).append(v)
+        h = ClassHierarchy({k: list(v) for k, v in parents.items()},
+                           {k: list(v) for k, v in children.items()})
+        ref = ref_mod.ClassHierarchy(
+            {k: list(v) for k, v in parents.items()},
+            {k: list(v) for k, v in children.items()})
+        leaves = sorted(h.leaves())
+        if len(leaves) < 2:
+            continue
+        from semantic_embeddings_tpu.hierarchy.vectorized import (
+            pairwise_matrices,
+        )
+
+        mats = pairwise_matrices(h, leaves)
+        for i, a in enumerate(leaves):
+            for j, b in enumerate(leaves):
+                if i >= j:
+                    continue
+                sv = h.wup_similarity(a, b)
+                # the two public APIs must ALWAYS agree
+                assert mats["wup"][i, j] == pytest.approx(sv, abs=1e-12)
+                anc_a = h._ancestors(h._node_index[a])
+                anc_b = h._ancestors(h._node_index[b])
+                common = set(anc_a) & set(anc_b)
+                depths = [int(h._depth_max_arr[c]) for c in common]
+                if depths.count(max(depths)) == 1:
+                    assert sv == pytest.approx(ref.wup_similarity(a, b),
+                                               abs=1e-12)

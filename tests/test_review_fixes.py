@@ -316,3 +316,50 @@ def test_apply_pipeline_args_units_and_wiring():
     for mod in (learn_image_embeddings, learn_classifier, learn_devise,
                 learn_labelembedding, learn_center_loss):
         assert "apply_pipeline_args" in inspect.getsource(mod), mod.__name__
+
+
+# ---------------------------------------------------------------------------
+# second/third review-pass fixes
+# ---------------------------------------------------------------------------
+
+def test_device_cholesky_works_on_current_jax():
+    """jax.experimental.enable_x64 was removed in JAX 0.9; the device=True
+    unitsphere path must use the current API and keep float64 precision."""
+    from semantic_embeddings_tpu.embeddings.solvers import unitsphere_embedding
+
+    S = np.full((5, 5), 0.3)
+    np.fill_diagonal(S, 1.0)
+    e = unitsphere_embedding(S, device=True)
+    np.testing.assert_allclose(e @ e.T, S, atol=1e-10)
+
+
+def test_retrieval_rejects_short_labels():
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy({"a": ["r"], "b": ["r"]}, {"r": ["a", "b"]})
+    feats = np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="4 entries for 6 feature rows"):
+        evaluate_retrieval_features(feats, ["a", "b", "a", "b"], h, ks=[1])
+
+
+def test_hierarchical_precision_rejects_ranking_missing_query():
+    """A full-length ranking that omits its own query id (duplicate of some
+    other id) must raise, not silently delete the rank-0 result."""
+    from semantic_embeddings_tpu.evaluation.hierarchical import (
+        hierarchical_precision,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy({"a": ["r"], "b": ["r"]}, {"r": ["a", "b"]})
+    labels = {0: "a", 1: "b", 2: "a", 3: "b"}
+    rankings = {
+        0: [0, 1, 2, 3],
+        1: [1, 0, 2, 3],
+        2: [0, 1, 0, 3],  # malformed: omits query 2, duplicates 0
+        3: [3, 0, 1, 2],
+    }
+    with pytest.raises(ValueError, match="does not contain the query"):
+        hierarchical_precision(h, rankings, labels, ks=[1])
