@@ -258,10 +258,30 @@ def distort_color(
             mean = y.mean(axis=(0, 1), keepdims=True)
             return jnp.clip((y - mean) * cf + mean, 0.0, 1.0)
 
+        def sat_fn(y):
+            hsv = rgb_to_hsv(y)
+            s = jnp.clip(hsv[..., 1] * st, 0.0, 1.0)
+            return hsv_to_rgb(
+                jnp.stack([hsv[..., 0], s, hsv[..., 2]], axis=-1))
+
+        def hue_fn(y):
+            hsv = rgb_to_hsv(y)
+            h = (hsv[..., 0] + hu) % 1.0
+            return hsv_to_rgb(
+                jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
         branches = [
+            # Reference orderings (datasets/common.py:880-887), ops that
+            # act on disjoint HSV channels merged into one round trip:
+            # 0: brightness -> sat -> hue -> contrast
             lambda y: contrast_fn(hue_sat_fn(brightness_fn(y))),
-            lambda y: hue_sat_fn(contrast_fn(brightness_fn(y))),
+            # 1: SAT FIRST -> brightness -> contrast -> hue (saturation
+            # does not commute with RGB brightness/contrast, so it needs
+            # its own HSV round trip like the reference's)
+            lambda y: hue_fn(contrast_fn(brightness_fn(sat_fn(y)))),
+            # 2: contrast -> hue -> brightness(HSV value) -> sat
             lambda y: hue_sat_fn(contrast_fn(y), do_bright_hsv=True),
+            # 3: hue -> sat -> contrast -> brightness
             lambda y: brightness_fn(contrast_fn(hue_sat_fn(y))),
         ]
         return jax.lax.switch(ordering, branches, img)

@@ -54,7 +54,7 @@ def epoch_permutation(labels, rng, *, shuffle=True, oversample=False, repeats=1)
     return np.concatenate(parts)
 
 
-def batched_indices(perm, batch_size, *, pad_wrap=True):
+def batched_indices(perm, batch_size):
     """Splits a permutation into fixed-size batches.
 
     The ragged final batch is padded by wrapping to the permutation's start

@@ -79,6 +79,7 @@ class KerasBatchNorm(nn.Module):
 
     momentum: float = 0.99
     epsilon: float = 1e-3
+    scale_init: Callable = nn.initializers.ones
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -87,6 +88,7 @@ class KerasBatchNorm(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            scale_init=self.scale_init,
             dtype=self.dtype,
         )(x)
 

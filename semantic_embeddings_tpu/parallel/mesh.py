@@ -55,12 +55,18 @@ def initialize_distributed():
     """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        return
+    # CRITICAL ordering: do NOT query jax.process_count()/jax.devices()
+    # first — that initializes the XLA backend, after which
+    # jax.distributed.initialize() raises ("backends are initialized").
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        # Idempotent startup paths (initialize() called twice) land here.
+        if "already" not in str(e).lower():
+            raise
 
 
 def process_slice(n: int, process_index=None, process_count=None):

@@ -123,24 +123,30 @@ class KerasSGDState(NamedTuple):
     velocity: optax.Updates
 
 
-def keras_sgd(momentum=0.9, nesterov=False, clipnorm=0.0):
+def keras_sgd(momentum=0.9, nesterov=False):
     """Keras-SGD as an optax ``GradientTransformation`` (LR applied by an
     outer ``optax.scale_by_learning_rate`` or injected via the update's
     ``lr``-scaled gradients is NOT equivalent — this transform expects
-    gradients pre-multiplied by the learning rate)."""
+    gradients pre-multiplied by the learning rate).
+
+    Per-tensor gradient clipping must be applied to the RAW gradients
+    BEFORE the learning-rate scaling (Keras order) — use
+    :func:`clip_by_per_tensor_norm`; a ``clipnorm`` here would see
+    lr-scaled gradients and clip at the wrong threshold (an earlier
+    revision accepted and silently ignored such an argument).
+    """
 
     def init_fn(params):
         return KerasSGDState(velocity=init_velocity(params))
 
     def update_fn(lr_grads, state, params=None):
         del params
-        clipped = lr_grads  # caller pre-scales by lr (see docstring)
         v_new = jax.tree_util.tree_map(
-            lambda v, g: momentum * v - g, state.velocity, clipped
+            lambda v, g: momentum * v - g, state.velocity, lr_grads
         )
         if nesterov:
             updates = jax.tree_util.tree_map(
-                lambda v, g: momentum * v - g, v_new, clipped
+                lambda v, g: momentum * v - g, v_new, lr_grads
             )
         else:
             updates = v_new

@@ -37,6 +37,7 @@ def make_labelembed_train_step(
             (emb, out1, out2, tar), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, labels, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
             )
             per_sample = L.labelembed_loss(
                 out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta
@@ -114,6 +115,7 @@ def make_center_loss_train_step(
             (emb, prob, center_dist), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, labels, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
             )
             ce = L.categorical_crossentropy(onehot, prob).mean()
             cl = center_dist.mean()

@@ -109,6 +109,11 @@ def make_train_step(
     ``optimizer``: 'sgd' (Keras-exact) or 'adagrad' (DeViSE); the state's
     ``velocity`` tree doubles as the Adagrad accumulator.
     """
+    if l2_penalty_fn is not None and l2_coef_tree is not None:
+        raise ValueError(
+            "Pass either l2_penalty_fn or l2_coef_tree, not both — "
+            "together they would apply the regularization twice."
+        )
     emb_loss = (
         loss_fn_override if loss_fn_override is not None
         else EMB_LOSSES[loss_name]
@@ -139,6 +144,7 @@ def make_train_step(
                 images,
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": rng},
             )
             metrics = {}
             if cls_weight > 0:
@@ -310,6 +316,7 @@ def make_classifier_train_step(
                 images,
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": rng},
             )
             ce = L.categorical_crossentropy(onehot, prob).mean()
             total = ce
@@ -512,9 +519,12 @@ def fit(
             for k, v in jax.device_get(metric_sums).items()
         } if n_batches else {}
 
-        val_metrics = run_validation(
-            eval_step, state, dataset.test_batches(val_batch_size), base_key
-        )
+        val_batches = dataset.test_batches(val_batch_size)
+        if mesh is not None:
+            # Shard validation like training: otherwise every chip (and,
+            # multi-host, every host) redundantly evaluates the full set.
+            val_batches = (shard_batch(mesh, raw) for raw in val_batches)
+        val_metrics = run_validation(eval_step, state, val_batches, base_key)
         val_metrics.pop("predictions", None)
         schedule.observe(val_metrics)
         state = state.replace(epoch=epoch + 1)

@@ -363,3 +363,106 @@ def test_hierarchical_precision_rejects_ranking_missing_query():
     }
     with pytest.raises(ValueError, match="does not contain the query"):
         hierarchical_precision(h, rankings, labels, ks=[1])
+
+
+# ---------------------------------------------------------------------------
+# fourth review-pass fixes (train/models/data/parallel)
+# ---------------------------------------------------------------------------
+
+def test_initialize_distributed_order_and_idempotence(monkeypatch):
+    """jax.distributed.initialize must be attempted whenever a coordinator
+    is configured (it raises if the backend was initialized first, so the
+    env check must come before ANY device query), and an
+    'already initialized' RuntimeError must be swallowed."""
+    from semantic_embeddings_tpu.parallel import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    initialize_distributed()
+    assert calls == []  # no coordinator configured -> no-op
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    initialize_distributed()
+    assert calls == [1]
+
+    def raise_already(*a, **k):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+    initialize_distributed()  # must not raise
+
+    def raise_other(*a, **k):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_other)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        initialize_distributed()
+
+
+def test_l2_filters_are_first_match_wins_so_specific_rules_go_first():
+    """The cls head must get the reference's l2(5e-4)
+    (learn_image_embeddings.py:44) even when the backbone spec has a
+    catch-all like ('.*', 2e-4) — the CLI PREPENDS the cls_top rule."""
+    from semantic_embeddings_tpu.models import build_network
+
+    spec = build_network(8, "resnet-32")
+    assert any(p == r".*" for p, _ in spec.l2_filters), "premise: catch-all"
+    spec.l2_filters = [(r"^cls_top$", 5e-4)] + list(spec.l2_filters)
+    params = {
+        "backbone": {"conv0": {"kernel": jnp.ones((2, 2))}},
+        "cls_top": {"kernel": jnp.ones((2, 2))},
+    }
+    # catch-all 2e-4 for the backbone kernel + 5e-4 for the cls head.
+    expect = 2e-4 * 4 + 5e-4 * 4
+    assert float(spec.l2_penalty(params)) == pytest.approx(expect)
+
+
+def test_l2_penalty_and_coef_tree_are_mutually_exclusive():
+    from semantic_embeddings_tpu.train import make_train_step
+
+    with pytest.raises(ValueError, match="not both"):
+        make_train_step(object(), lambda *a: None,
+                        l2_penalty_fn=lambda p: 0.0, l2_coef_tree={})
+
+
+def test_wrn_dropout_trains_with_rng():
+    """WideResNet(dropout>0) previously crashed at trace time ('Need PRNG
+    for rng: dropout') because no train step supplied dropout rngs."""
+    from semantic_embeddings_tpu.models.wrn import WideResNet
+    from semantic_embeddings_tpu.models import EmbeddingModel
+    from semantic_embeddings_tpu.train import make_train_step, new_train_state
+
+    model = EmbeddingModel(
+        backbone=WideResNet(classes=4, n_blocks=1, width=1, dropout=0.3,
+                            final_activation=None),
+        output="l2norm",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+                           train=False)
+    state = new_train_state(variables)
+    step = make_train_step(
+        model, lambda raw, rng, train: (raw["x"], raw["y"]),
+        loss_name="inv_corr", class_embedding=np.eye(4, dtype=np.float32),
+    )
+    raw = {"x": np.random.default_rng(0).normal(size=(4, 8, 8, 3))
+           .astype(np.float32), "y": np.array([0, 1, 2, 3])}
+    state, metrics = step(state, raw, 0.1, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_wrn_bn_gamma_uniform_init():
+    """The reference WRN passes gamma_initializer='uniform'
+    (RandomUniform(-0.05, 0.05)) on every BatchNorm."""
+    from semantic_embeddings_tpu.models.wrn import WideResNet
+
+    m = WideResNet(classes=4, n_blocks=1, width=1, final_activation=None)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    scales = [np.asarray(l) for path, l in
+              jax.tree_util.tree_flatten_with_path(v["params"])[0]
+              if str(path[-1]).find("scale") >= 0]
+    assert scales, "no BN scale params found"
+    flat = np.concatenate([s.ravel() for s in scales])
+    assert flat.min() >= -0.05 and flat.max() <= 0.05
+    assert not np.allclose(flat, 1.0)
