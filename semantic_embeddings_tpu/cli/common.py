@@ -202,10 +202,14 @@ def extract_test_features(model, state, dataset, batch_size=100, pick=None):
     return np.concatenate([o[v] for o, v in zip(fetched, valids)])
 
 
-def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None):
+def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None,
+                   features=None):
     """--model_dump / --weight_dump / --feature_dump handling
     (``learn_image_embeddings.py:257-275``).  Model dumps carry the model
-    configuration so evaluation CLIs can rebuild the module without flags."""
+    configuration so evaluation CLIs can rebuild the module without flags.
+
+    ``features``: already-extracted test features to dump (skips the
+    extra forward pass when the caller computed them anyway)."""
     from ..train.state import save_checkpoint, save_weights
 
     metadata = {"architecture": getattr(args, "architecture", None)}
@@ -223,7 +227,7 @@ def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None):
         except Exception as e:  # noqa: BLE001
             print(f"An error occurred while saving the model: {e}")
     if getattr(args, "feature_dump", None):
-        feats = extract_test_features(
+        feats = features if features is not None else extract_test_features(
             model, state, dataset,
             batch_size=getattr(args, "val_batch_size", 100) or 100,
             pick=0 if cls_weight > 0 else None,
@@ -259,7 +263,13 @@ def extract_by_tap(model, variables, prepare, batches, layer=None,
     for i, raw in enumerate(batches):
         out, taps = forward(variables, raw, jax.random.fold_in(base_key, i))
         if layer is None:
-            feats = out if pick is None else out[pick]
+            if isinstance(out, tuple):
+                # Multi-output model (embedding, prob): default to the
+                # embedding output — callers that want the softmax pass
+                # pick=1 or layer='prob'.
+                feats = out[0 if pick is None else pick]
+            else:
+                feats = out
         else:
             flat = jax.tree_util.tree_flatten_with_path(taps)[0]
             match = None
@@ -305,6 +315,16 @@ def rebuild_model_from_checkpoint(path, architecture=None):
         )
     params = variables["params"]
     if "backbone" in params:
+        if "loss" not in meta:
+            import warnings
+
+            warnings.warn(
+                f"Checkpoint {path} lacks 'loss' metadata; assuming "
+                "'inv_corr' (l2norm output). Features from a model trained "
+                "with mse/unnorm_corr/center-loss would be silently "
+                "L2-normalized — re-dump with current learners, which "
+                "record the loss.", RuntimeWarning,
+            )
         embed_dim = meta.get("embed_dim")
         if embed_dim is None:
             top = params["backbone"].get("top", {})

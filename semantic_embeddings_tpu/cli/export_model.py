@@ -144,7 +144,9 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
                   input_channels)
         ).astype(np.float32)
         got = restored.call(x)
-        want = forward(jnp.asarray(x))
+        # jit the reference forward: eager execution would dispatch one
+        # tunneled op per layer on this backend.
+        want = jax.jit(forward)(jnp.asarray(x))
         # On TPU the two lowerings (export pipeline vs direct jit) fuse
         # differently and f32 convs run through bf16 MXU passes by default,
         # so only CPU validation can expect near-bit equality.
@@ -161,8 +163,9 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
 def main(argv=None):
     from . import common
 
-    common.ensure_compile_cache()
+    # Parse first: --help / flag errors must not touch the (remote) backend.
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
     export_checkpoint(
         args.checkpoint, args.out, architecture=args.architecture,
         layer=args.layer, input_size=args.input_size,

@@ -329,6 +329,7 @@ def main(argv=None):
     from . import common
 
     args = build_parser().parse_args(argv)
+    common.ensure_compile_cache()
     layers = read_keras_h5(args.h5)
     params, batch_stats, skipped = map_layers(
         layers, args.architecture, has_cls_head=args.cls_classes > 0

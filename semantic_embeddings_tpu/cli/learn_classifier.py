@@ -200,7 +200,7 @@ def main(argv=None):
         from ..embeddings import save_features
 
         save_features(args.feature_dump, feats)
-        args = argparse.Namespace(**{**vars(args), "feature_dump": None})
+        args.feature_dump = None  # already dumped the custom features
 
     common.dump_artifacts(args, state, model, dataset)
     return state

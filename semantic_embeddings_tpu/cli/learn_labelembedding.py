@@ -168,7 +168,7 @@ def main(argv=None):
         from ..embeddings import save_features
 
         save_features(args.feature_dump, feats)
-    args = argparse.Namespace(**{**vars(args), "feature_dump": None})
+        args.feature_dump = None  # already dumped the custom features
     common.dump_artifacts(args, state, model, dataset)
     return state
 
@@ -185,12 +185,14 @@ def _extract_embeddings(model, state, dataset, batch_size):
         )
         return emb
 
-    chunks = []
+    # Enqueue all batches, fetch once: a per-batch np.asarray would pay a
+    # host<->device round trip per batch (see common.extract_test_features).
+    pending, valids = [], []
     for raw in dataset.test_batches(batch_size):
-        emb = forward(state, raw)
-        valid = np.asarray(raw["valid"]) > 0
-        chunks.append(np.asarray(emb)[valid])
-    return np.concatenate(chunks)
+        pending.append(forward(state, raw))
+        valids.append(np.asarray(raw["valid"]) > 0)
+    fetched = jax.device_get(pending)
+    return np.concatenate([e[v] for e, v in zip(fetched, valids)])
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ def recall_precision_curves(features, labels, normalize=False, bins=None,
     precisions (max per query), and the mean average precision."""
     _, feats = load_features(features)
     labels = np.asarray(labels)
+    if len(labels) != len(feats):
+        raise ValueError(
+            f"labels has {len(labels)} entries for {len(feats)} feature "
+            "rows (feature dump from a different split/subset?)"
+        )
     recprec = {}
     aps = []
     for start, block in pairwise_ranking_blocks(
@@ -75,6 +80,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from . import common
+
+    common.ensure_compile_cache()
 
     import matplotlib
 

@@ -450,6 +450,7 @@ def fit(
     log_fn=None,
     profile_dir: str | None = None,
     profile_steps=(10, 30),
+    snapshot_meta: dict | None = None,
 ):
     """Epoch loop with schedule driving, validation, and snapshotting.
 
@@ -540,9 +541,13 @@ def fit(
                 elif (monitored > best_metric if maximize
                       else monitored < best_metric):
                     best_metric = monitored
-                    save_checkpoint(snapshot, state, {"epoch": epoch + 1})
+                    save_checkpoint(
+                        snapshot, state,
+                        {"epoch": epoch + 1, **(snapshot_meta or {})})
             else:
-                save_checkpoint(snapshot, state, {"epoch": epoch + 1})
+                save_checkpoint(
+                    snapshot, state,
+                    {"epoch": epoch + 1, **(snapshot_meta or {})})
 
         if verbose:
             msg = " ".join(
