@@ -335,7 +335,8 @@ def rebuild_model_from_checkpoint(path, architecture=None):
         if not cls_classes and "cls_top" in params:
             cls_classes = int(np.asarray(params["cls_top"]["kernel"]).shape[-1])
         model, _ = build_embedding_model(
-            embed_dim, arch, meta.get("loss", "inv_corr"), cls_classes
+            embed_dim, arch, meta.get("loss", "inv_corr"), cls_classes,
+            cls_base=meta.get("cls_base"),
         )
     else:
         spec = build_network(

@@ -95,6 +95,15 @@ class EmbeddingModel(nn.Module):
 
         if self.cls_classes > 0:
             if tapped is not None:
+                if tapped.ndim != 2:
+                    raise ValueError(
+                        f"cls_base={self.cls_base!r} output has shape "
+                        f"{tapped.shape}; the classification head needs a "
+                        "flat (batch, features) tap — name a Dense/pooled "
+                        "module such as 'top' (a Dense over a 4-D feature "
+                        "map would produce per-position logits, which is "
+                        "also what the reference's Keras head would do)."
+                    )
                 head_in = tapped
             elif self.cls_input == "l2norm":
                 head_in = l2norm(emb.astype(jnp.float32))

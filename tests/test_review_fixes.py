@@ -466,3 +466,25 @@ def test_wrn_bn_gamma_uniform_init():
     flat = np.concatenate([s.ravel() for s in scales])
     assert flat.min() >= -0.05 and flat.max() <= 0.05
     assert not np.allclose(flat, 1.0)
+
+
+def test_cls_base_requires_flat_tap():
+    """--cls_base naming a conv module (4-D feature map) must raise a clear
+    error instead of producing per-position logits that crash later in the
+    loss with an opaque broadcast error."""
+    from semantic_embeddings_tpu.models import EmbeddingModel, build_network
+
+    spec = build_network(16, "resnet-110-fc")
+    spec.module = spec.module.clone(n=2)
+    model = EmbeddingModel(backbone=spec.module, output="l2norm",
+                           cls_classes=4, cls_base="stage2_block1")
+    with pytest.raises(ValueError, match="flat .batch, features. tap"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+                   train=False)
+
+    # A flat module ('top' Dense) works.
+    ok = EmbeddingModel(backbone=spec.module, output="l2norm",
+                        cls_classes=4, cls_base="top")
+    v = ok.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)), train=False)
+    emb, prob = ok.apply(v, jnp.zeros((2, 8, 8, 3)), train=False)
+    assert prob.shape == (2, 4)
