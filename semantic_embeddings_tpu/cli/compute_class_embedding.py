@@ -138,9 +138,12 @@ def main(argv=None):
         print(f"Maximum deviation from target similarities: {err.max()}")
         print(f"Average deviation from target similarities: {err.mean()}")
     else:
-        pair = np.linalg.norm(
-            embedding[:, None, :] - embedding[None, :, :], axis=-1
-        )
+        # GEMM-form pairwise distances: the broadcast difference tensor is
+        # (n, n, d) — ~8 GB float64 at ILSVRC scale — while this is O(n^2)
+        # like the reference's scipy pdist (compute_class_embedding.py:237).
+        sq = np.sum(embedding * embedding, axis=1)
+        g = sq[:, None] + sq[None, :] - 2.0 * (embedding @ embedding.T)
+        pair = np.sqrt(np.maximum(g, 0.0))
         err = np.abs(pair - sem_class_dist)
         print(f"Maximum deviation from target distances: {err.max()}")
         print(f"Average deviation from target distances: {err.mean()}")

@@ -94,6 +94,15 @@ def main(argv=None):
 
     prepare = dataset.make_prepare()
     rank_loss = devise_ranking_loss(embedding, args.margin)
+    # Keras kernel regularization: the backbone keeps its per-arch l2
+    # regularizers; with --init_weights the reference REPLACES the top
+    # Dense by an unregularized one (learn_devise.py:71), so exclude it.
+    if args.init_weights:
+        l2_fn = lambda p: spec.l2_penalty(
+            {k: v for k, v in p["backbone"].items() if k != "top"}
+        )
+    else:
+        l2_fn = lambda p: spec.l2_penalty(p["backbone"])
     metric = nn_accuracy(embedding, dot_prod_sim=True)
     eval_step = make_eval_step(
         model, prepare, class_embedding=embedding, metric_fn=metric,
@@ -106,6 +115,7 @@ def main(argv=None):
             model, prepare, class_embedding=embedding,
             loss_fn_override=rank_loss, optimizer="adagrad",
             trainable_fn=lambda p: "top" in p, metric_fn=metric, clipnorm=0.0,
+            l2_penalty_fn=l2_fn,
         )
         state = fit(
             state, init_step, eval_step, dataset,
@@ -114,7 +124,12 @@ def main(argv=None):
             val_batch_size=args.val_batch_size,
             verbose=not args.no_progress,
         )
-        state = state.replace(epoch=0)
+        # The reference compiles a FRESH Adagrad for fine-tuning
+        # (learn_devise.py:114): reset the accumulators, or the pretrained
+        # layers' phase-2 updates would be scaled down by phase-1 history.
+        from ..train.optimizer import init_velocity
+
+        state = state.replace(epoch=0, velocity=init_velocity(state.params))
 
     if args.ft_epochs > 0:
         print("Fine-tuning all layers")
@@ -125,6 +140,7 @@ def main(argv=None):
             model, prepare, class_embedding=embedding,
             loss_fn_override=rank_loss, optimizer="adagrad",
             metric_fn=metric, clipnorm=0.0, donate=True,
+            l2_penalty_fn=l2_fn,
         )
         log_fn = common.MetricsLogger(args.log_dir) if args.log_dir else None
         state = fit(

@@ -98,8 +98,16 @@ def main(argv=None):
     state = new_train_state(variables)
 
     prepare = dataset.make_prepare()
-    loss_kw = dict(tau=args.tau, alpha=args.alpha, beta=args.beta)
-    eval_step = make_labelembed_eval_step(model, prepare, **loss_kw)
+    # Keras kernel regularization: the reference backbone carries per-arch
+    # l2 regularizers (utils.build_network); the learner's added heads
+    # (prob/out2/label embeddings) are unregularized there — scope the
+    # penalty to the backbone subtree.
+    loss_kw = dict(tau=args.tau, alpha=args.alpha, beta=args.beta,
+                   l2_penalty_fn=lambda p: spec.l2_penalty(p["backbone"]))
+    eval_step = make_labelembed_eval_step(
+        model, prepare,
+        **{k: v for k, v in loss_kw.items() if k != "l2_penalty_fn"},
+    )
 
     if args.finetune:
         print(f"Loading pre-trained weights from {args.finetune}")

@@ -62,8 +62,10 @@ def get_data_generator(dataset, data_root=None, classes=None, **extra):
 
     if dataset.startswith("synthetic"):
         # synthetic[-<num_classes>]: in-memory random data, CIFAR-shaped.
+        # ``classes`` (the embedding's label order) takes precedence so the
+        # label->embedding-row alignment matches every real dataset path.
         n = int(dataset.split("-")[1]) if "-" in dataset else 100
-        return SyntheticDataset(num_classes=n, **kwargs)
+        return SyntheticDataset(num_classes=n, classes=classes, **kwargs)
 
     if dataset == "cifar-10":
         return CifarDataset(

@@ -199,10 +199,20 @@ class CifarDataset(InMemoryDataset):
 
 class SyntheticDataset(InMemoryDataset):
     """Random class-separable images, CIFAR-shaped by default.  Used for
-    benchmarks and tests when no dataset is on disk."""
+    benchmarks and tests when no dataset is on disk.
+
+    ``classes`` (the embedding's ``ind2label`` when training against an
+    embedding pickle): synthetic label i stands for ``classes[i]``, so
+    ``class_indices`` maps embedding labels to dataset label values and
+    the CLI's ``embedding[label]`` gather stays aligned with ``ind2label``
+    ordering — without this the classes argument was silently dropped and
+    non-identity orderings trained against the wrong rows.
+    """
 
     def __init__(self, num_classes=100, n_train=2048, n_test=512, size=32,
-                 seed=0, **kwargs):
+                 seed=0, classes=None, **kwargs):
+        if classes is not None:
+            num_classes = len(classes)
         rng = np.random.default_rng(seed)
         y_train = np.tile(np.arange(num_classes), n_train // num_classes + 1)[
             :n_train
@@ -217,3 +227,6 @@ class SyntheticDataset(InMemoryDataset):
         super().__init__(
             render(y_train), y_train, render(y_test), y_test, **kwargs
         )
+        if classes is not None:
+            self.classes = list(classes)
+            self.class_indices = {c: i for i, c in enumerate(self.classes)}

@@ -103,8 +103,11 @@ class HPEvaluator:
 
         q_cls: (B,) query class indices.
         positions: (B, N) ranked database indices.
-        q_pos: (B,) rank of the query itself in its ranking (required when
-            ``ignore_qids``).
+        q_pos: (B,) rank of the query itself in its ranking.  With
+            ``ignore_qids=True`` and ``q_pos=None`` the block is evaluated
+            WITHOUT removal — the reference's fallback when the query id
+            is absent from its ranking (``class_hierarchy.py:289-297``:
+            ``except ValueError: pass``), e.g. query-excluded protocols.
 
         Returns a dict of per-metric (B,) arrays.
         """
@@ -115,9 +118,7 @@ class HPEvaluator:
         best_w = np.stack([b[0] for b in best])
         best_l = np.stack([b[1] for b in best])
 
-        if self.ignore_qids:
-            if q_pos is None:
-                raise ValueError("q_pos required when ignore_qids=True")
+        if self.ignore_qids and q_pos is not None:
             wup = _delete_at(wup, q_pos)
             lcs = _delete_at(lcs, q_pos)
             # Optimal curve with one perfect (sim 1.0) result removed at the
@@ -211,31 +212,32 @@ def hierarchical_precision(
             [state["class_index"][label_of(q)] for q in block_q], dtype=np.int64
         )
         if ignore_qids:
-            for q in block_q:
-                if q not in id_index:
-                    raise ValueError(
-                        f"Query id {q!r} does not occur in the ranked "
-                        "database; rankings with external queries require "
-                        "ignore_qids=False."
-                    )
-            q_idx = np.array([id_index[q] for q in block_q])
-            found = positions == q_idx[:, None]
-            q_pos = np.argmax(found, axis=1)
-            if not found.any(axis=1).all():
-                # argmax over an all-False row returns 0, which would
-                # silently delete the top-ranked RESULT as if it were the
-                # query; a ranking of the right length that omits its own
-                # query id is malformed input (duplicated some other id).
-                bad = [q for q, ok in zip(block_q, found.any(axis=1))
-                       if not ok]
-                raise ValueError(
-                    f"Ranking for query id(s) {bad[:5]!r} does not contain "
-                    "the query itself (malformed ranking with duplicate "
-                    "ids?)"
-                )
+            q_idx = np.array([id_index.get(q, -1) for q in block_q])
+            present = positions == q_idx[:, None]
+            has_q = present.any(axis=1)
+            q_pos = np.argmax(present, axis=1)
         else:
+            has_q = np.zeros(b, dtype=bool)
             q_pos = None
-        result = ev.process(q_cls, positions, q_pos)
+
+        if ignore_qids and not has_q.all():
+            # Reference fallback (class_hierarchy.py:289-297, ``except
+            # ValueError: pass``): rankings that do not contain their own
+            # query id — external queries or query-excluded databases —
+            # are evaluated WITHOUT removal over the full ranking.
+            result = {name: np.empty(b) for name in ev.metric_names}
+            for rows, pos in ((np.flatnonzero(has_q), True),
+                              (np.flatnonzero(~has_q), False)):
+                if not rows.size:
+                    continue
+                part = ev.process(
+                    q_cls[rows], positions[rows],
+                    q_pos[rows] if pos else None,
+                )
+                for name, values in part.items():
+                    result[name][rows] = values
+        else:
+            result = ev.process(q_cls, positions, q_pos)
         for name, values in result.items():
             store = per_query[name]
             for r, q in enumerate(block_q):

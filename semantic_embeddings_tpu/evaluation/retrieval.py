@@ -50,7 +50,7 @@ def _ranking_fn(normalize):
 
 
 def pairwise_ranking_blocks(features, normalize=False, block_size=1024,
-                            pin_self_first=True, mesh=None):
+                            mesh=None):
     """Yields ``(start, ranking_block)`` with the query pinned to rank 0.
 
     ``features``: (N, d) array.  The database stays resident on device; each

@@ -29,7 +29,12 @@ def make_labelembed_train_step(
     clipnorm=10.0,
     trainable_fn=None,
     donate=False,
+    l2_penalty_fn=None,
 ):
+    """``l2_penalty_fn``: Keras kernel regularization — the reference's
+    backbone carries per-arch l2 regularizers (utils.build_network) while
+    the learner's added heads do not; pass a penalty scoped to the
+    backbone subtree."""
     def step(state: TrainState, raw_batch, lr, rng):
         images, labels = prepare(raw_batch, rng, True)
 
@@ -43,6 +48,8 @@ def make_labelembed_train_step(
                 out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta
             )
             total = per_sample.mean()
+            if l2_penalty_fn is not None:
+                total = total + l2_penalty_fn(params)
             metrics = {
                 "loss": total,
                 "acc": (jnp.argmax(out1, -1) == labels)
@@ -106,6 +113,7 @@ def make_center_loss_train_step(
     clipnorm=10.0,
     trainable_fn=None,
     donate=False,
+    l2_penalty_fn=None,
 ):
     def step(state: TrainState, raw_batch, lr, rng):
         images, labels = prepare(raw_batch, rng, True)
@@ -120,6 +128,8 @@ def make_center_loss_train_step(
             ce = L.categorical_crossentropy(onehot, prob).mean()
             cl = center_dist.mean()
             total = ce + center_loss_weight * cl
+            if l2_penalty_fn is not None:
+                total = total + l2_penalty_fn(params)
             metrics = {
                 "loss": total,
                 "ce": ce,

@@ -385,9 +385,11 @@ def make_classifier_eval_step(
     return jax.jit(step)
 
 
-def make_forward_fn(model, prepare=None, taps=False, mesh=None):
-    """Inference forward; with ``taps=True`` returns the intermediates tree
-    (named feature taps: avg_pool / embedding / l2norm / prob)."""
+def make_forward_fn(model, taps=False):
+    """Inference forward over already-prepared (normalized) images; with
+    ``taps=True`` also returns the intermediates tree (named feature taps:
+    avg_pool / embedding / l2norm / prob).  Input preparation/sharding is
+    the caller's job (see cli.common.extract_by_tap for the full path)."""
 
     def forward(state_params, batch_stats, images):
         variables = {"params": state_params, "batch_stats": batch_stats}

@@ -345,24 +345,45 @@ def test_retrieval_rejects_short_labels():
         evaluate_retrieval_features(feats, ["a", "b", "a", "b"], h, ks=[1])
 
 
-def test_hierarchical_precision_rejects_ranking_missing_query():
-    """A full-length ranking that omits its own query id (duplicate of some
-    other id) must raise, not silently delete the rank-0 result."""
+def test_hierarchical_precision_missing_query_matches_reference():
+    """Rankings that do not contain their own query id (query-excluded
+    protocols, or malformed rows) are evaluated WITHOUT qid removal,
+    exactly like the reference's ``except ValueError: pass`` fallback
+    (class_hierarchy.py:289-297) — verified against the oracle."""
+    import sys
+
     from semantic_embeddings_tpu.evaluation.hierarchical import (
         hierarchical_precision,
     )
     from semantic_embeddings_tpu.hierarchy import ClassHierarchy
 
-    h = ClassHierarchy({"a": ["r"], "b": ["r"]}, {"r": ["a", "b"]})
-    labels = {0: "a", 1: "b", 2: "a", 3: "b"}
+    parents = {"a": ["r"], "b": ["r"], "c": ["s"], "r": ["t"], "s": ["t"]}
+    children = {"r": ["a", "b"], "s": ["c"], "t": ["r", "s"]}
+    h = ClassHierarchy({k: list(v) for k, v in parents.items()},
+                       {k: list(v) for k, v in children.items()})
+    labels = {0: "a", 1: "b", 2: "a", 3: "c"}
     rankings = {
         0: [0, 1, 2, 3],
         1: [1, 0, 2, 3],
-        2: [0, 1, 0, 3],  # malformed: omits query 2, duplicates 0
+        2: [0, 1, 0, 3],  # omits query 2 (duplicate of 0): no removal
         3: [3, 0, 1, 2],
     }
-    with pytest.raises(ValueError, match="does not contain the query"):
-        hierarchical_precision(h, rankings, labels, ks=[1])
+    means, perq = hierarchical_precision(
+        h, dict(rankings), labels, ks=[1, 2], compute_ahp=True)
+
+    sys.path.insert(0, "/root/reference")
+    import class_hierarchy as ref_mod
+
+    ref = ref_mod.ClassHierarchy({k: list(v) for k, v in parents.items()},
+                                 {k: list(v) for k, v in children.items()})
+    ref_means, ref_perq = ref.hierarchical_precision(
+        dict(rankings), labels, ks=[1, 2], compute_ahp=True,
+        ignore_qids=True)
+    for name, val in ref_means.items():
+        # NaN == NaN counts as parity (zero optimal cumsum at k after
+        # removal produces NaN in the reference as well).
+        np.testing.assert_allclose(means[name], val, atol=1e-12,
+                                   equal_nan=True, err_msg=name)
 
 
 # ---------------------------------------------------------------------------
