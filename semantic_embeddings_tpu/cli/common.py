@@ -105,6 +105,37 @@ def load_class_embedding(path_or_onehot):
     return dump["ind2label"], np.asarray(dump["embedding"], dtype=np.float32)
 
 
+def check_mesh_batch(mesh, *batch_sizes):
+    """Batch axes must divide the mesh: jnp sharding raises a cryptic
+    error deep inside the first step otherwise (the default batch size 100
+    does not divide an 8-chip mesh)."""
+    if mesh is None:
+        return
+    n = mesh.devices.size
+    for b in batch_sizes:
+        if b and b % n:
+            raise SystemExit(
+                f"batch size {b} is not divisible by the {n}-device mesh "
+                f"(--gpus {n}); choose a multiple of {n}."
+            )
+
+
+def check_label_range(dataset, n_rows, what="embedding"):
+    """Dataset labels index the embedding/one-hot tables inside jit, and
+    jnp gathers CLAMP out of range — training would silently regress every
+    out-of-range class onto the last table row (the reference's numpy
+    gather raises).  Validate on host up front."""
+    import numpy as np
+
+    mx = int(max(np.max(dataset.labels_train), np.max(dataset.labels_test)))
+    if mx >= n_rows:
+        raise SystemExit(
+            f"Dataset labels go up to {mx} but the {what} has only "
+            f"{n_rows} rows; pass an embedding matching the dataset's "
+            "class enumeration (e.g. the right class subset)."
+        )
+
+
 def resolve_mesh(gpus):
     """Maps the reference's --gpus flag onto the data-parallel mesh.  Uses
     all visible devices when they divide evenly; 1 device otherwise."""
@@ -235,6 +266,26 @@ def dump_artifacts(args, state, model, dataset, cls_weight=0.0, meta=None,
         save_features(args.feature_dump, feats)
 
 
+def resolve_tap(taps, layer):
+    """Finds the named feature tap in an intermediates tree; raises with
+    the available names otherwise.  Shared by feature extraction and the
+    serving export so both resolve taps identically."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(taps)[0]
+    for path, leaf in flat:
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if layer in names:
+            return leaf
+    available = sorted(
+        {n for path, _ in flat
+         for n in (str(getattr(p, "key", getattr(p, "name", p)))
+                   for p in path)
+         if not n.isdigit()}
+    )
+    raise ValueError(f"No feature tap named {layer!r}; available: {available}")
+
+
 def extract_by_tap(model, variables, prepare, batches, layer=None,
                    train_branch=False, pick=None, seed=0):
     """Extracts features at a named tap (avg_pool / embedding / l2norm /
@@ -271,25 +322,7 @@ def extract_by_tap(model, variables, prepare, batches, layer=None,
             else:
                 feats = out
         else:
-            flat = jax.tree_util.tree_flatten_with_path(taps)[0]
-            match = None
-            for path, leaf in flat:
-                names = [str(getattr(p, "key", getattr(p, "name", p)))
-                         for p in path]
-                if layer in names:
-                    match = leaf
-                    break
-            if match is None:
-                available = sorted(
-                    {n for path, _ in flat
-                     for n in (str(getattr(p, "key", getattr(p, "name", p)))
-                               for p in path)
-                     if not n.isdigit()}
-                )
-                raise ValueError(
-                    f"No feature tap named {layer!r}; available: {available}"
-                )
-            feats = match
+            feats = resolve_tap(taps, layer)
         valid = np.asarray(raw["valid"]) > 0 if "valid" in raw else None
         chunks.append((feats, valid))  # device array; fetched in one go
     fetched = jax.device_get([f for f, _ in chunks])

@@ -90,22 +90,7 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
         out_val, inter = model.apply(
             variables, images, train=False, mutable=["intermediates"]
         )
-        taps = inter.get("intermediates", {})
-        flat = jax.tree_util.tree_flatten_with_path(taps)[0]
-        for path, leaf in flat:
-            names = [str(getattr(p, "key", getattr(p, "name", p)))
-                     for p in path]
-            if layer in names:
-                return leaf
-        available = sorted(
-            {n for path, _ in flat
-             for n in (str(getattr(p, "key", getattr(p, "name", p)))
-                       for p in path)
-             if not n.isdigit()}
-        )
-        raise ValueError(
-            f"No feature tap named {layer!r}; available: {available}"
-        )
+        return common.resolve_tap(inter.get("intermediates", {}), layer)
 
     if batch == -1:
         scope = jexport.SymbolicScope()

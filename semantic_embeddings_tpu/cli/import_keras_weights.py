@@ -43,9 +43,29 @@ def read_keras_h5(path):
     out = {}
     with h5py.File(path, "r") as f:
         group = f["model_weights"] if "model_weights" in f else f
+        raw_names = group.attrs.get("layer_names")
+        if raw_names is None:
+            # Keras always writes layer_names in creation order; without it
+            # h5py iterates alphabetically (conv2d_10 before conv2d_2),
+            # which would scramble the ORDER-based maps for the
+            # unnamed-layer families. Natural-sort the numeric suffixes and
+            # warn — creation order cannot be fully recovered.
+            import re
+            import warnings
+
+            warnings.warn(
+                f"{path} has no layer_names attribute; falling back to "
+                "natural-sorted group keys. Order-based imports "
+                "(wrn/pyramidnet/densenet) may be unreliable for files not "
+                "written by Keras.", RuntimeWarning,
+            )
+            def natkey(name):
+                return [int(t) if t.isdigit() else t
+                        for t in re.split(r"(\d+)", name)]
+
+            raw_names = sorted(group.keys(), key=natkey)
         layer_names = [
-            n.decode() if isinstance(n, bytes) else n
-            for n in group.attrs.get("layer_names", list(group.keys()))
+            n.decode() if isinstance(n, bytes) else n for n in raw_names
         ]
         for lname in layer_names:
             g = group[lname]

@@ -102,6 +102,8 @@ def main(argv=None):
     common.apply_pipeline_args(dataset, args)
 
     mesh = common.resolve_mesh(args.gpus)
+    common.check_mesh_batch(mesh, args.batch_size, args.val_batch_size)
+    common.check_label_range(dataset, dataset.num_classes, what="classifier")
     import jax.numpy as jnp
 
     spec = build_network(
@@ -176,9 +178,15 @@ def main(argv=None):
         verbose=not args.no_progress, mesh=mesh, log_fn=log_fn,
     )
 
+    final_batches = dataset.test_batches(args.val_batch_size)
+    if mesh is not None:
+        # Shard like fit()'s per-epoch validation: the same jitted program
+        # (no recompile) and no N-times redundant replicated evaluation.
+        from ..parallel import shard_batch
+
+        final_batches = (shard_batch(mesh, raw) for raw in final_batches)
     final = run_validation(
-        eval_step, state, dataset.test_batches(args.val_batch_size),
-        jax.random.PRNGKey(0),
+        eval_step, state, final_batches, jax.random.PRNGKey(0),
     )
     preds = final.pop("predictions", None)
     print({k: round(float(v), 6) for k, v in final.items()})

@@ -23,8 +23,12 @@ def recall_precision_curves(features, labels, normalize=False, bins=None,
                             block_size=1024):
     """Returns ``(recprec, mAP)``: a dict of recall level -> list of
     precisions (max per query), and the mean average precision."""
-    _, feats = load_features(features)
-    labels = np.asarray(labels)
+    ids, feats = load_features(features)
+    if ids is not None:
+        # rows are keyed by image ID; pair labels by ID like the reference
+        labels = np.asarray([labels[i] for i in ids])
+    else:
+        labels = np.asarray(labels)
     if len(labels) != len(feats):
         raise ValueError(
             f"labels has {len(labels)} entries for {len(feats)} feature "

@@ -65,6 +65,11 @@ class HPEvaluator:
         self.lcs_sim = 1.0 - mats["lcs_height"]
         self.counts = np.bincount(self.db_classes, minlength=len(classes))
         self._best_cache = {}
+        # For external queries (classes absent from the database) rows are
+        # appended lazily via :meth:`query_class_index`.
+        self._hierarchy = hierarchy
+        self._classes = list(classes)
+        self.class_index = {c: i for i, c in enumerate(classes)}
 
         self.ahp_suffix = (
             "" if isinstance(compute_ahp, bool) else f"@{int(compute_ahp)}"
@@ -79,6 +84,28 @@ class HPEvaluator:
             ]
         if compute_ap:
             self.metric_names.append("AP")
+
+    def query_class_index(self, label):
+        """Class index for a QUERY label; labels absent from the database
+        (external queries) get a lazily-appended similarity row computed
+        via the scalar hierarchy API — the reference computes per-pair
+        similarities lazily and supports this protocol."""
+        idx = self.class_index.get(label)
+        if idx is None:
+            h = self._hierarchy
+            wup_row = np.array(
+                [h.wup_similarity(label, c) for c in self._classes],
+                dtype=self.wup_sim.dtype,
+            )
+            lcs_row = 1.0 - np.array(
+                [h.lcs_height(label, c) for c in self._classes],
+                dtype=self.lcs_sim.dtype,
+            )
+            self.wup_sim = np.vstack([self.wup_sim, wup_row])
+            self.lcs_sim = np.vstack([self.lcs_sim, lcs_row])
+            idx = self.wup_sim.shape[0] - 1
+            self.class_index[label] = idx
+        return idx
 
     def _best_cum(self, class_idx):
         cached = self._best_cache.get(class_idx)
@@ -193,7 +220,6 @@ def hierarchical_precision(
         class_index = {c: i for i, c in enumerate(classes)}
         db_classes = np.array([class_index[l] for l in img_labels])
         state["id_index"] = id_index
-        state["class_index"] = class_index
         state["evaluator"] = HPEvaluator(
             hierarchy, db_classes, classes, ks=ks, compute_ahp=compute_ahp,
             compute_ap=compute_ap, ignore_qids=ignore_qids,
@@ -209,7 +235,8 @@ def hierarchical_precision(
                 (id_index[i] for i in ret), dtype=np.int64, count=ev.n_items
             )
         q_cls = np.array(
-            [state["class_index"][label_of(q)] for q in block_q], dtype=np.int64
+            [ev.query_class_index(label_of(q)) for q in block_q],
+            dtype=np.int64,
         )
         if ignore_qids:
             q_idx = np.array([id_index.get(q, -1) for q in block_q])

@@ -244,7 +244,13 @@ def evaluate_retrieval_features(
     Returns ``(means, per_query)`` with the reference's metric names.
     """
     ids, feats = load_features(features)
-    labels = list(labels)
+    if ids is not None:
+        # The dump format keys rows by image ID (arbitrary order allowed);
+        # the reference pairs labels_test[id] per row — positional pairing
+        # would silently mislabel any non-ascending dump.
+        labels = [labels[i] for i in ids]
+    else:
+        labels = list(labels)
     if len(labels) != len(feats):
         # jnp gathers CLAMP out-of-bounds indices, so a short labels list
         # would silently misattribute every item beyond its end instead of

@@ -14,14 +14,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.cosine_loss import l2_normalize as l2norm  # noqa: F401 - canonical
 from .layers import KerasBatchNorm, dense
-
-
-def l2norm(x, epsilon=1e-12):
-    """L2-normalizes along the last axis (``/root/reference/utils.py:125-127``,
-    TF semantics: ``x / sqrt(max(sum(x^2), eps))``)."""
-    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    return x / jnp.sqrt(jnp.maximum(sq, epsilon))
 
 
 class EmbeddingModel(nn.Module):

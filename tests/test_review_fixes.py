@@ -509,3 +509,90 @@ def test_cls_base_requires_flat_tap():
     v = ok.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)), train=False)
     emb, prob = ok.apply(v, jnp.zeros((2, 8, 8, 3)), train=False)
     assert prob.shape == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# seventh review-pass fixes
+# ---------------------------------------------------------------------------
+
+def test_retrieval_pairs_labels_by_dump_ids():
+    """Feature dumps key rows by image ID in arbitrary order; labels must
+    be paired by ID like the reference (labels_test[id]), not by row
+    position."""
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy(
+        {"a": ["r"], "b": ["r"], "c": ["s"], "r": ["t"], "s": ["t"]},
+        {"r": ["a", "b"], "s": ["c"], "t": ["r", "s"]},
+    )
+    rng = np.random.default_rng(0)
+    n = 24
+    labels = [["a", "b", "c"][i % 3] for i in range(n)]
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    for i in range(n):
+        feats[i, i % 3] += 3.0
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+
+    ascending = {"feat": {i: feats[i] for i in range(n)}}
+    perm = rng.permutation(n)
+    shuffled = {"feat": {int(i): feats[i] for i in perm}}
+
+    m1, _ = evaluate_retrieval_features(ascending, labels, h, ks=[1, 5],
+                                        normalize=True)
+    m2, _ = evaluate_retrieval_features(shuffled, labels, h, ks=[1, 5],
+                                        normalize=True)
+    for name in m1:
+        assert m1[name] == pytest.approx(m2[name], abs=1e-9), name
+
+
+def test_label_range_and_mesh_batch_guards():
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.data import SyntheticDataset
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    ds = SyntheticDataset(num_classes=10, n_train=20, n_test=10)
+    common.check_label_range(ds, 10)  # exact fit: fine
+    with pytest.raises(SystemExit, match="only 5 rows"):
+        common.check_label_range(ds, 5)
+
+    if len(jax.devices()) >= 8:
+        mesh = get_mesh(8)
+        common.check_mesh_batch(mesh, 64, 256)  # divisible: fine
+        with pytest.raises(SystemExit, match="not divisible"):
+            common.check_mesh_batch(mesh, 100)
+    common.check_mesh_batch(None, 100)  # no mesh: no-op
+
+
+def test_external_query_class_matches_reference(reference_dir):
+    """Queries whose class never occurs in the database (external queries)
+    must evaluate like the reference, which computes pair similarities
+    lazily."""
+    import sys
+
+    from semantic_embeddings_tpu.evaluation.hierarchical import (
+        hierarchical_precision,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    parents = {"a": ["r"], "b": ["r"], "c": ["s"], "r": ["t"], "s": ["t"]}
+    children = {"r": ["a", "b"], "s": ["c"], "t": ["r", "s"]}
+    h = ClassHierarchy({k: list(v) for k, v in parents.items()},
+                       {k: list(v) for k, v in children.items()})
+    # database items 0..3 are classes a/b only; query 9 is class 'c'
+    labels = {0: "a", 1: "b", 2: "a", 3: "b", 9: "c"}
+    rankings = {0: [0, 1, 2, 3], 9: [1, 0, 3, 2]}
+    means, perq = hierarchical_precision(h, dict(rankings), labels, ks=[1, 2])
+
+    sys.path.insert(0, reference_dir)
+    import class_hierarchy as ref_mod
+
+    ref = ref_mod.ClassHierarchy({k: list(v) for k, v in parents.items()},
+                                 {k: list(v) for k, v in children.items()})
+    ref_means, _ = ref.hierarchical_precision(
+        dict(rankings), labels, ks=[1, 2], ignore_qids=True)
+    for name, val in ref_means.items():
+        np.testing.assert_allclose(means[name], val, atol=1e-12,
+                                   equal_nan=True, err_msg=name)
