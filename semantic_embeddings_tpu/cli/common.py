@@ -105,6 +105,19 @@ def load_class_embedding(path_or_onehot):
     return dump["ind2label"], np.asarray(dump["embedding"], dtype=np.float32)
 
 
+def str2bool(v):
+    """The reference's flexible boolean flag parser (used by --norm)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    import argparse
+
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
 def check_mesh_batch(mesh, *batch_sizes):
     """Batch axes must divide the mesh: jnp sharding raises a cryptic
     error deep inside the first step otherwise (the default batch size 100

@@ -23,16 +23,9 @@ from ..data import get_data_generator
 from ..hierarchy import ClassHierarchy
 from ..models import ARCHITECTURES
 from . import common
+from .common import str2bool
 
 METRICS = ["Accuracy", "Top-5 Accuracy", "Avg. Accuracy", "Hierarchical Accuracy"]
-
-
-def str2bool(v):
-    if v.lower() in ("yes", "true", "t", "y", "1"):
-        return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
-        return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
 def _test_features(model, variables, dataset, layer, batch_size):

@@ -18,20 +18,13 @@ from ..data import get_data_generator
 from ..evaluation.retrieval import evaluate_retrieval_features
 from ..hierarchy import ClassHierarchy
 from . import common
+from .common import str2bool
 
 METRICS = [
     "P@1 (WUP)", "P@10 (WUP)", "P@50 (WUP)", "P@100 (WUP)", "AHP (WUP)",
     "P@1 (LCS_HEIGHT)", "P@10 (LCS_HEIGHT)", "P@50 (LCS_HEIGHT)",
     "P@100 (LCS_HEIGHT)", "AHP (LCS_HEIGHT)", "AP",
 ]
-
-
-def str2bool(v):
-    if v.lower() in ("yes", "true", "t", "y", "1"):
-        return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
-        return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
 def print_performance(perf, metrics=METRICS):

@@ -151,7 +151,7 @@ def main(argv=None):
             state = fit(
                 state, warm, eval_step, dataset, warm_sched,
                 epochs=args.finetune_init, batch_size=args.batch_size,
-                val_batch_size=args.val_batch_size,
+                val_batch_size=args.val_batch_size, seed=args.seed,
                 verbose=not args.no_progress, mesh=mesh,
             )
             state = state.replace(epoch=0)

@@ -180,9 +180,15 @@ class FileDataset(DatasetBase):
         (``datasets/common.py:435-472`` semantics)."""
         if target_size is None:
             target_size = self.default_target_size
-        if target_size <= 0 and not (randzoom and self.randzoom_range):
+        # Tuples are explicit (w, h) targets.  (The reference's own
+        # ``target_size > 0`` comparison is a py2-ism that breaks on tuples
+        # under Python 3 despite its docstring advertising them.)
+        explicit = isinstance(target_size, (tuple, list))
+        if not explicit and target_size <= 0 and not (
+            randzoom and self.randzoom_range
+        ):
             return img
-        if target_size <= 0:
+        if not explicit and target_size <= 0:
             target_size = img.size
         if randzoom and self.randzoom_range:
             lo, hi = self.randzoom_range

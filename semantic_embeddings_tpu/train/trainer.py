@@ -479,6 +479,8 @@ def fit(
     # Host-side mirror of state.step: reading the device scalar every batch
     # would force a sync and serialize dispatch against compute.
     global_step = int(state.step)
+    start_step = global_step
+    profiling = False
 
     for epoch in range(initial_epoch, epochs):
         t0 = time.time()
@@ -496,14 +498,21 @@ def fit(
                 raw = shard_batch(mesh, raw)
             if profile_dir is not None:
                 # Device-level trace of a window of steady-state steps
-                # (jax.profiler; view with tensorboard or xprof).
-                if global_step == profile_steps[0]:
+                # (jax.profiler; view with tensorboard or xprof).  Window
+                # offsets are relative to THIS run's first step, so
+                # resuming from a snapshot past the window still profiles
+                # (absolute step matching either crashed stop_trace on
+                # resume or never started).
+                done_steps = global_step - start_step
+                if done_steps == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
-                elif global_step == profile_steps[1]:
+                    profiling = True
+                elif profiling and done_steps >= profile_steps[1]:
                     jax.block_until_ready(state.params)
                     jax.profiler.stop_trace()
                     print(f"Wrote device trace to {profile_dir}", flush=True)
                     profile_dir = None
+                    profiling = False
             state, metrics = train_step(state, raw, lr, rng)
             # Epoch-mean train metrics (Keras reports running epoch
             # averages, not the last batch).  Accumulated as a device-side
@@ -563,4 +572,9 @@ def fit(
         if log_fn is not None:
             log_fn(epoch, {**train_metrics, **val_metrics, "lr": epoch_lr})
 
+    if profiling:
+        # Runs shorter than the window still get their trace written.
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        print(f"Wrote device trace to {profile_dir}", flush=True)
     return state

@@ -113,3 +113,28 @@ class TestExactTopK:
 
         with pytest.raises(ValueError, match="k=9"):
             exact_topk(jnp.zeros((1, 4)), 9)
+
+
+def test_exact_topk_inf_heavy_rows():
+    """Padding uses -inf; rows that THEMSELVES contain -inf (masked
+    columns, whole -inf tails) must still match lax.top_k exactly —
+    padding can only lose ties because real candidates always occupy
+    earlier candidate positions."""
+    from jax import lax
+
+    from semantic_embeddings_tpu.ops.topk import exact_topk
+
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        n = int(rng.integers(300, 4000))
+        k = int(rng.integers(1, 280))
+        chunk = int(rng.integers(max(k, 64), 1500))
+        x = rng.normal(size=(2, n)).astype(np.float32)
+        mask = rng.random((2, n)) < rng.uniform(0.3, 0.95)
+        x[mask] = -np.inf
+        x[:, int(n * 0.7):] = -np.inf
+        xj = jnp.asarray(x)
+        v1, i1 = lax.top_k(xj, k)
+        v2, i2 = exact_topk(xj, k, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
