@@ -12,9 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from . import losses as L
-from .optimizer import sgd_update
 from .state import TrainState
-from .trainer import _trainable_mask
+from .trainer import finish_sgd_step
 
 
 def make_labelembed_train_step(
@@ -58,18 +57,11 @@ def make_labelembed_train_step(
             return total, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
-        if trainable_fn is not None:
-            mask = _trainable_mask(state.params, trainable_fn)
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        new_params, new_vel = sgd_update(
-            state.params, state.velocity, grads, lr,
-            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        new_state = finish_sgd_step(
+            state, grads, new_bs, lr, momentum=momentum, nesterov=nesterov,
+            clipnorm=clipnorm, trainable_fn=trainable_fn,
         )
-        return (
-            state.replace(params=new_params, velocity=new_vel,
-                          batch_stats=new_bs, step=state.step + 1),
-            metrics,
-        )
+        return new_state, metrics
 
     return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
 
@@ -140,18 +132,11 @@ def make_center_loss_train_step(
             return total, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
-        if trainable_fn is not None:
-            mask = _trainable_mask(state.params, trainable_fn)
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        new_params, new_vel = sgd_update(
-            state.params, state.velocity, grads, lr,
-            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        new_state = finish_sgd_step(
+            state, grads, new_bs, lr, momentum=momentum, nesterov=nesterov,
+            clipnorm=clipnorm, trainable_fn=trainable_fn,
         )
-        return (
-            state.replace(params=new_params, velocity=new_vel,
-                          batch_stats=new_bs, step=state.step + 1),
-            metrics,
-        )
+        return new_state, metrics
 
     return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
 

@@ -56,6 +56,24 @@ LOSS_OUTPUT = {
 }
 
 
+def finish_sgd_step(state, grads, new_bs, lr, *, momentum=0.9,
+                    nesterov=False, clipnorm=10.0, trainable_fn=None):
+    """Shared step tail: trainable-mask -> Keras-exact SGD -> new state.
+    Used by every SGD-based step builder so fixes to the update sequence
+    (donation, clipnorm, masking) apply everywhere at once."""
+    if trainable_fn is not None:
+        mask = _trainable_mask(state.params, trainable_fn)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+    new_params, new_vel = sgd_update(
+        state.params, state.velocity, grads, lr,
+        momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+    )
+    return state.replace(
+        params=new_params, velocity=new_vel, batch_stats=new_bs,
+        step=state.step + 1,
+    )
+
+
 def _trainable_mask(params, trainable_fn):
     """Pytree of {0,1} masks from a path-predicate."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -330,20 +348,11 @@ def make_classifier_train_step(
             return total, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
-        if trainable_fn is not None:
-            mask = _trainable_mask(state.params, trainable_fn)
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        new_params, new_vel = sgd_update(
-            state.params, state.velocity, grads, lr,
-            momentum=momentum, nesterov=nesterov, clipnorm=clipnorm,
+        new_state = finish_sgd_step(
+            state, grads, new_bs, lr, momentum=momentum, nesterov=nesterov,
+            clipnorm=clipnorm, trainable_fn=trainable_fn,
         )
-        return (
-            state.replace(
-                params=new_params, velocity=new_vel, batch_stats=new_bs,
-                step=state.step + 1,
-            ),
-            metrics,
-        )
+        return new_state, metrics
 
     kwargs = {"donate_argnums": (0,)} if donate else {}
     return jax.jit(step, **kwargs)
