@@ -25,7 +25,7 @@ from ..train import (
 )
 from ..train.metrics import balanced_accuracy
 from ..train.optimizer import decay_from_max_decay
-from ..train.schedules import LR_SCHEDULES
+from ..train.schedules import LR_SCHEDULES, PiecewiseSchedule
 from . import common
 
 
@@ -144,17 +144,21 @@ def main(argv=None):
             warm = make_classifier_train_step(
                 model, prepare, trainable_fn=lambda p: "top" in p, **step_kwargs
             )
-            warm_sched, _ = get_lr_schedule(
-                "SGD", dataset.num_train, args.batch_size,
-                {"sgd_lr": args.sgd_lr},
-            )
+            # Reference warm-up: fresh SGD at a CONSTANT sgd_lr with no
+            # schedule callbacks.
+            warm_sched = PiecewiseSchedule([(0, args.sgd_lr)])
             state = fit(
                 state, warm, eval_step, dataset, warm_sched,
                 epochs=args.finetune_init, batch_size=args.batch_size,
                 val_batch_size=args.val_batch_size, seed=args.seed,
                 verbose=not args.no_progress, mesh=mesh,
             )
-            state = state.replace(epoch=0)
+            # Reference re-compiles a fresh SGD for full training: zero
+            # momentum velocity, optimizer iterations restart at 0.
+            from ..train.optimizer import init_velocity
+
+            state = state.replace(
+                epoch=0, step=0, velocity=init_velocity(state.params))
             print("Full model training")
 
     schedule, num_epochs = get_lr_schedule(

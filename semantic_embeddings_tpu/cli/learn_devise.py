@@ -79,6 +79,7 @@ def main(argv=None):
     embedding = embedding / np.linalg.norm(embedding, axis=-1, keepdims=True)
     dataset = get_data_generator(args.dataset, args.data_root, classes=embed_labels)
     common.apply_pipeline_args(dataset, args)
+    common.check_label_range(dataset, embedding.shape[0])
 
     model, spec = common.build_embedding_model(
         embedding.shape[1], args.architecture, "mse", 0  # linear output head
@@ -129,7 +130,8 @@ def main(argv=None):
         # layers' phase-2 updates would be scaled down by phase-1 history.
         from ..train.optimizer import init_velocity
 
-        state = state.replace(epoch=0, velocity=init_velocity(state.params))
+        state = state.replace(
+            epoch=0, step=0, velocity=init_velocity(state.params))
 
     if args.ft_epochs > 0:
         print("Fine-tuning all layers")

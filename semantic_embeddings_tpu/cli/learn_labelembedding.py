@@ -23,7 +23,7 @@ from ..train import (
 )
 from ..train.metrics import balanced_accuracy
 from ..train.optimizer import decay_from_max_decay
-from ..train.schedules import LR_SCHEDULES
+from ..train.schedules import LR_SCHEDULES, PiecewiseSchedule
 from ..train.special import (
     make_labelembed_eval_step,
     make_labelembed_train_step,
@@ -81,6 +81,10 @@ def main(argv=None):
     class_list = read_class_list(args.class_list) if args.class_list else None
     dataset = get_data_generator(args.dataset, args.data_root, classes=class_list)
     common.apply_pipeline_args(dataset, args)
+    mesh = common.resolve_mesh(args.gpus)
+    common.check_mesh_batch(mesh, args.batch_size, args.val_batch_size)
+    common.check_label_range(dataset, dataset.num_classes,
+                             what="label-embedding table")
 
     spec = build_network(args.embed_dim, args.architecture)
     model = LabelEmbedModel(
@@ -123,17 +127,21 @@ def main(argv=None):
                 nesterov=args.nesterov, clipnorm=args.clipgrad,
                 trainable_fn=lambda p: any(h in p for h in heads),
             )
-            warm_sched, _ = get_lr_schedule(
-                "SGD", dataset.num_train, args.batch_size,
-                {"sgd_lr": args.sgd_lr},
-            )
+            # Reference warm-up: fresh SGD at a CONSTANT sgd_lr with no
+            # schedule callbacks.
+            warm_sched = PiecewiseSchedule([(0, args.sgd_lr)])
             state = fit(
                 state, warm, eval_step, dataset, warm_sched,
                 epochs=args.finetune_init, batch_size=args.batch_size,
                 val_batch_size=args.val_batch_size,
-                verbose=not args.no_progress,
+                verbose=not args.no_progress, mesh=mesh,
             )
-            state = state.replace(epoch=0)
+            # Reference re-compiles a fresh SGD for full training: zero
+            # momentum velocity, optimizer iterations restart at 0.
+            from ..train.optimizer import init_velocity
+
+            state = state.replace(
+                epoch=0, step=0, velocity=init_velocity(state.params))
             print("Full model training")
 
     schedule, num_epochs = get_lr_schedule(
@@ -153,12 +161,16 @@ def main(argv=None):
         state, train_step, eval_step, dataset, schedule,
         epochs=epochs, batch_size=args.batch_size,
         val_batch_size=args.val_batch_size, decay=decay,
-        verbose=not args.no_progress, log_fn=log_fn,
+        verbose=not args.no_progress, log_fn=log_fn, mesh=mesh,
     )
 
+    final_batches = dataset.test_batches(args.val_batch_size)
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        final_batches = (shard_batch(mesh, raw) for raw in final_batches)
     final = run_validation(
-        eval_step, state, dataset.test_batches(args.val_batch_size),
-        jax.random.PRNGKey(0),
+        eval_step, state, final_batches, jax.random.PRNGKey(0),
     )
     preds = final.pop("predictions", None)
     print({k: round(float(v), 6) for k, v in final.items()})

@@ -32,6 +32,13 @@ ACTIVATIONS = {
 }
 
 
+def keras_uniform(key, shape, dtype=jnp.float32):
+    """Keras 'uniform' initializer: RandomUniform(-0.05, 0.05)."""
+    import jax
+
+    return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
+
 def activation_fn(name) -> Callable:
     if callable(name):
         return name

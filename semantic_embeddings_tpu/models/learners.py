@@ -77,7 +77,9 @@ class CenterLossModel(nn.Module):
                 )
             init = lambda key, shape, dtype=jnp.float32: fixed
         else:
-            init = nn.initializers.uniform(scale=0.05)
+            # Keras Embedding default: 'uniform' = RandomUniform(-0.05,
+            # 0.05); flax's uniform(scale) is U[0, scale) — wrong mean.
+            from .layers import keras_uniform as init
         centroids = self.param(
             "cls_centroids", init, (self.num_classes, self.embed_dim)
         )

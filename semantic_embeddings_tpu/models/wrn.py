@@ -13,14 +13,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, conv, dense, global_avg_pool
-
-
-def _keras_uniform(key, shape, dtype=jnp.float32):
-    """Keras 'uniform' initializer: RandomUniform(-0.05, 0.05)."""
-    import jax
-
-    return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+from .layers import KerasBatchNorm, conv, dense, global_avg_pool, keras_uniform
 
 
 def _bn(dtype, name):
@@ -28,7 +21,7 @@ def _bn(dtype, name):
     # (wide_residual_network.py:14,25,44,51,...): Keras 'uniform' is
     # RandomUniform(-0.05, 0.05), NOT ones.
     return KerasBatchNorm(
-        momentum=0.1, epsilon=1e-5, scale_init=_keras_uniform,
+        momentum=0.1, epsilon=1e-5, scale_init=keras_uniform,
         dtype=dtype, name=name,
     )
 

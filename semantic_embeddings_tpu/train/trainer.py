@@ -240,6 +240,7 @@ def make_eval_step(
     mesh=None,
     loss_fn_override: Callable | None = None,
     num_classes: int | None = None,
+    l2_penalty_fn: Callable | None = None,
 ):
     """Validation step: running BN stats, no update; returns summed metrics
     and the batch size so ragged final batches average correctly."""
@@ -287,9 +288,16 @@ def make_eval_step(
         metrics["emb_loss"] = (emb_loss(targets, emb_out) * mask).sum()
         # Monitored total: embedding loss + weighted CE, like the reference's
         # compiled multi-output val_loss (learn_image_embeddings.py:229-232).
+        # Keras's evaluate ALSO folds model.losses (the L2 kernel penalty)
+        # into val_loss, and --snapshot_best / plateau monitor that total —
+        # add penalty * batch-count so the per-count mean gains it once.
         metrics["total_loss"] = metrics["emb_loss"] + cls_weight * metrics.get(
             "cls_loss", 0.0
         )
+        if l2_penalty_fn is not None:
+            metrics["total_loss"] = metrics["total_loss"] + (
+                l2_penalty_fn(state.params) * mask.sum()
+            )
         if metric_fn is not None:
             if isinstance(metric_fn, dict):
                 for mname, fn in metric_fn.items():
