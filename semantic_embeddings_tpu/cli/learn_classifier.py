@@ -132,6 +132,7 @@ def main(argv=None):
     eval_step = make_classifier_eval_step(
         model, prepare, num_classes=dataset.num_classes,
         label_smoothing=args.label_smoothing, mesh=mesh,
+        l2_penalty_fn=spec.l2_penalty,
     )
 
     if args.finetune:

@@ -108,10 +108,7 @@ def main(argv=None):
     # penalty to the backbone subtree.
     loss_kw = dict(tau=args.tau, alpha=args.alpha, beta=args.beta,
                    l2_penalty_fn=lambda p: spec.l2_penalty(p["backbone"]))
-    eval_step = make_labelembed_eval_step(
-        model, prepare,
-        **{k: v for k, v in loss_kw.items() if k != "l2_penalty_fn"},
-    )
+    eval_step = make_labelembed_eval_step(model, prepare, **loss_kw)
 
     if args.finetune:
         print(f"Loading pre-trained weights from {args.finetune}")

@@ -52,11 +52,29 @@ def initialize_distributed():
     global mesh and the same pjit-sharded step runs SPMD across hosts —
     gradient psum over ICI within a slice, DCN across slices, all
     through XLA collectives.
+
+    Trigger condition: we call ``initialize()`` when either the explicit
+    coordinator env vars are set OR a multi-host TPU environment is
+    detectable (Cloud TPU / megascale metadata env vars) — on standard
+    pods ``jax.distributed.initialize()`` auto-discovers the coordinator
+    from the TPU metadata with no JAX_* vars set, so gating on those
+    alone would silently leave every host a single-process job.
     """
     import os
 
-    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+    explicit = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # Cloud TPU pod environments export worker topology metadata; any of
+    # these indicates a multi-host slice whose coordinator initialize()
+    # can auto-detect (jax.distributed's cluster detection covers
+    # GCE/GKE TPU environments).
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    tpu_pod = (
+        "," in hostnames  # >1 worker in the slice
+        or os.environ.get("MEGASCALE_NUM_SLICES")
+        or os.environ.get("CLOUD_TPU_TASK_ID")
+    )
+    if not (explicit or tpu_pod):
         return
     # CRITICAL ordering: do NOT query jax.process_count()/jax.devices()
     # first — that initializes the XLA backend, after which

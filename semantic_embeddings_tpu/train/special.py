@@ -66,7 +66,8 @@ def make_labelembed_train_step(
     return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
 
 
-def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5):
+def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5,
+                              l2_penalty_fn=None):
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
         valid = raw_batch.get("valid")
@@ -82,7 +83,7 @@ def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5):
             out1, out2, tar, labels, tau=tau, alpha=alpha, beta=beta,
             valid=mask,
         )
-        return {
+        out = {
             "emb_loss": (per_sample * mask).sum(),
             "cls_correct": (
                 (jnp.argmax(out1, -1) == labels).astype(jnp.float32) * mask
@@ -90,6 +91,13 @@ def make_labelembed_eval_step(model, prepare, *, tau=2.0, alpha=0.9, beta=0.5):
             "pred": jnp.argmax(out1, -1),
             "count": mask.sum(),
         }
+        # Keras's evaluate folds model.losses (the L2 kernel penalty) into
+        # val_loss; --snapshot_best / plateau monitor that total.
+        if l2_penalty_fn is not None:
+            out["total_loss"] = out["emb_loss"] + (
+                l2_penalty_fn(state.params) * mask.sum()
+            )
+        return out
 
     return jax.jit(step)
 
@@ -142,7 +150,7 @@ def make_center_loss_train_step(
 
 
 def make_center_loss_eval_step(model, prepare, *, num_classes,
-                               center_loss_weight=0.1):
+                               center_loss_weight=0.1, l2_penalty_fn=None):
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
         valid = raw_batch.get("valid")
@@ -156,7 +164,7 @@ def make_center_loss_eval_step(model, prepare, *, num_classes,
             images, labels, train=False,
         )
         ce = L.categorical_crossentropy(onehot, prob)
-        return {
+        out = {
             "emb_loss": ((ce + center_loss_weight * center_dist) * mask).sum(),
             "cls_correct": (
                 (jnp.argmax(prob, -1) == labels).astype(jnp.float32) * mask
@@ -164,5 +172,12 @@ def make_center_loss_eval_step(model, prepare, *, num_classes,
             "pred": jnp.argmax(prob, -1),
             "count": mask.sum(),
         }
+        # Keras folds the L2 kernel penalty into val_loss (see
+        # make_labelembed_eval_step).
+        if l2_penalty_fn is not None:
+            out["total_loss"] = out["emb_loss"] + (
+                l2_penalty_fn(state.params) * mask.sum()
+            )
+        return out
 
     return jax.jit(step)

@@ -373,6 +373,7 @@ def make_classifier_eval_step(
     num_classes: int,
     label_smoothing: float = 0.0,
     mesh=None,
+    l2_penalty_fn: Callable | None = None,
 ):
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
@@ -390,7 +391,7 @@ def make_classifier_eval_step(
             images,
             train=False,
         )
-        return {
+        out = {
             "emb_loss": (L.categorical_crossentropy(onehot, prob) * mask).sum(),
             "cls_correct": (
                 (jnp.argmax(prob, -1) == labels).astype(jnp.float32) * mask
@@ -398,6 +399,13 @@ def make_classifier_eval_step(
             "pred": jnp.argmax(prob, -1),
             "count": mask.sum(),
         }
+        # Keras folds the L2 kernel penalty into val_loss; --snapshot_best /
+        # plateau monitor that total (see make_eval_step above).
+        if l2_penalty_fn is not None:
+            out["total_loss"] = out["emb_loss"] + (
+                l2_penalty_fn(state.params) * mask.sum()
+            )
+        return out
 
     return jax.jit(step)
 
@@ -594,4 +602,14 @@ def fit(
         jax.block_until_ready(state.params)
         jax.profiler.stop_trace()
         print(f"Wrote device trace to {profile_dir}", flush=True)
+    elif profile_dir is not None:
+        # profile_dir was set but the run ended before reaching the window's
+        # first step — say so instead of silently writing nothing.
+        warnings.warn(
+            f"--profile_dir was set but the run finished after "
+            f"{global_step - start_step} steps, before the profile window "
+            f"start (step {profile_steps[0]}); no trace was written. "
+            f"Lower profile_steps or run more steps.",
+            RuntimeWarning,
+        )
     return state

@@ -133,3 +133,54 @@ def test_adagrad_update_math():
     p, a = adagrad_update(params, accum, grads, lr=0.1)
     assert a["w"][0] == pytest.approx(4.0)
     assert p["w"][0] == pytest.approx(1.0 - 0.1 * 2.0 / (2.0 + 1e-7))
+
+
+def test_eval_steps_fold_l2_penalty_into_val_loss():
+    """Keras's evaluate folds model.losses (the L2 kernel penalty) into
+    val_loss; --snapshot_best/plateau monitor that total.  All eval-step
+    builders must therefore emit total_loss = emb_loss + penalty * count
+    when given an l2_penalty_fn (ADVICE r1: labelembed/center/classifier
+    eval steps omitted it)."""
+    from semantic_embeddings_tpu.train.trainer import make_classifier_eval_step
+
+    images, labels = _data()
+    raw = {"image": images, "label": labels}
+    penalty = lambda params: jnp.float32(0.125)
+
+    le = LabelEmbedModel(backbone=_backbone(), num_classes=4)
+    v = le.init(jax.random.PRNGKey(0), images, labels, train=False)
+    st = new_train_state(v)
+    base = make_labelembed_eval_step(le, _prepare)(st, raw, jax.random.PRNGKey(0))
+    m = make_labelembed_eval_step(le, _prepare, l2_penalty_fn=penalty)(
+        st, raw, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m["total_loss"]),
+        float(base["emb_loss"]) + 0.125 * float(base["count"]), rtol=1e-6)
+
+    cl = CenterLossModel(backbone=_backbone(), num_classes=4, embed_dim=16)
+    v = cl.init(jax.random.PRNGKey(0), images, labels, train=False)
+    st = new_train_state(v)
+    base = make_center_loss_eval_step(cl, _prepare, num_classes=4)(
+        st, raw, jax.random.PRNGKey(0))
+    m = make_center_loss_eval_step(
+        cl, _prepare, num_classes=4, l2_penalty_fn=penalty)(
+        st, raw, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m["total_loss"]),
+        float(base["emb_loss"]) + 0.125 * float(base["count"]), rtol=1e-6)
+
+    clf = build_network(4, "simple", classification=True).module
+    v = clf.init(jax.random.PRNGKey(0), images, train=False)
+    st = new_train_state(v)
+
+    def prep(raw, rng, train):
+        return raw["image"], raw["label"]
+
+    base = make_classifier_eval_step(clf, prep, num_classes=4)(
+        st, raw, jax.random.PRNGKey(0))
+    m = make_classifier_eval_step(
+        clf, prep, num_classes=4, l2_penalty_fn=penalty)(
+        st, raw, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m["total_loss"]),
+        float(base["emb_loss"]) + 0.125 * float(base["count"]), rtol=1e-6)

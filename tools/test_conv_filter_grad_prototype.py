@@ -5,7 +5,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semantic_embeddings_tpu.ops.conv_filter_grad import (
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from conv_filter_grad_prototype import (
     conv3x3_filter_grad,
     conv3x3_filter_grad_reference,
 )
