@@ -85,6 +85,11 @@ def add_common_train_arguments(group):
     group.add_argument("--gpu_merge", action="store_true", default=False,
                        help="Accepted for interface parity (gradient merge "
                             "placement is handled by XLA collectives).")
+    group.add_argument("--bn_per_replica", action="store_true", default=False,
+                       help="Compute BatchNorm statistics per data-parallel "
+                            "shard (the reference's per-tower BN under "
+                            "multi_gpu_model) instead of the default "
+                            "global-batch sync BN. See PARITY.md.")
 
 
 def schedule_args_from(args):
@@ -149,14 +154,24 @@ def check_label_range(dataset, n_rows, what="embedding"):
         )
 
 
-def resolve_mesh(gpus):
+def resolve_mesh(gpus, bn_per_replica=False):
     """Maps the reference's --gpus flag onto the data-parallel mesh.  Uses
-    all visible devices when they divide evenly; 1 device otherwise."""
+    all visible devices when they divide evenly; 1 device otherwise.
+
+    ``bn_per_replica`` switches BatchNorm to per-shard statistics (the
+    reference's per-tower BN) — must be set before the steps are traced,
+    which is why it rides along here."""
     n = max(1, int(gpus))
     avail = len(jax.devices())
     if n > avail:
         print(f"Requested {n} devices but only {avail} present; using {avail}.")
         n = avail
+    if bn_per_replica:
+        from ..models.layers import set_default_bn_groups
+
+        set_default_bn_groups(n)
+        if n > 1:
+            print(f"BatchNorm: per-replica statistics over {n} shards")
     return get_mesh(n) if n > 1 else None
 
 

@@ -142,6 +142,15 @@ def build_parser():
                             "faster at ILSVRC scale).")
     group.add_argument("--block_size", type=int, default=1024,
                        help="Query block size for the on-device ranking.")
+    group.add_argument("--gpus", type=int, default=1,
+                       help="Number of devices (mesh size): query blocks "
+                            "are sharded across chips.")
+    group.add_argument("--db_sharded", action="store_true", default=False,
+                       help="Shard the DATABASE rows across the mesh "
+                            "(O(N/n_dev) database memory per chip; "
+                            "per-chip exact top-k + cross-chip merge). "
+                            "Requires --no_ap and --clip_ahp (the top-k "
+                            "prefix protocol).")
     return parser
 
 
@@ -186,6 +195,8 @@ def main(argv=None):
             compute_ahp=args.clip_ahp if args.clip_ahp else True,
             compute_ap=not args.no_ap, normalize=normalize,
             block_size=args.block_size,
+            mesh=common.resolve_mesh(args.gpus),
+            db_sharded=args.db_sharded,
         )
         perf[name] = means
 

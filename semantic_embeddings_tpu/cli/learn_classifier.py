@@ -101,7 +101,8 @@ def main(argv=None):
     dataset = get_data_generator(args.dataset, args.data_root, classes=class_list)
     common.apply_pipeline_args(dataset, args)
 
-    mesh = common.resolve_mesh(args.gpus)
+    mesh = common.resolve_mesh(
+        args.gpus, bn_per_replica=getattr(args, "bn_per_replica", False))
     common.check_mesh_batch(mesh, args.batch_size, args.val_batch_size)
     common.check_label_range(dataset, dataset.num_classes, what="classifier")
     import jax.numpy as jnp

@@ -101,7 +101,10 @@ class FileDataset(DatasetBase):
         queue_size=4,
     ):
         self.root_dir = root_dir
-        self.cropsize = tuple(cropsize)
+        # cropsize=None: resolved lazily to the dataset-median transformed
+        # image size (see _resolved_cropsize for the reference-deviation
+        # rationale).
+        self.cropsize = None if cropsize is None else tuple(cropsize)
         self.default_target_size = default_target_size
         self.randzoom_range = randzoom_range
         self.randrot_max = randrot_max
@@ -226,7 +229,7 @@ class FileDataset(DatasetBase):
                 rng.uniform(-self.randrot_max, self.randrot_max), Image.BILINEAR
             )
         arr = np.asarray(img, dtype=np.uint8)
-        ch, cw = self.cropsize[1], self.cropsize[0]
+        cw, ch = self._resolved_cropsize()
         h, w = arr.shape[:2]
 
         if h > ch:
@@ -245,6 +248,49 @@ class FileDataset(DatasetBase):
                 "reflect",
             )
         return arr
+
+    def _resolved_cropsize(self):
+        """Returns (crop_width, crop_height), resolving ``cropsize=None``.
+
+        The reference crops each BATCH to the batch-median transformed
+        image size (``/root/reference/datasets/common.py:409-413``) — a
+        dynamic shape per batch, which under XLA would force one compile
+        per distinct median and defeat static-shape pipelining.  The
+        TPU-native counterpart, resolved ONCE here, is the DATASET-median
+        transformed size: a shuffled batch's median is a noisy estimator
+        of exactly this number, so the target statistics match while every
+        batch shares one static shape.  (Documented deviation; every
+        published recipe passes an explicit cropsize anyway.)  Sizes come
+        from image headers (no decode) with the shorter-side resize of
+        ``default_target_size`` applied analytically; capped at 1024
+        evenly-spaced files for O(1) startup on large datasets.
+        """
+        if self.cropsize is not None:
+            return self.cropsize
+        from PIL import Image
+
+        files = list(self.train_img_files) or list(self.test_img_files)
+        if not files:
+            raise ValueError("cropsize=None needs images to take a median of")
+        if len(files) > 1024:
+            files = files[:: max(1, len(files) // 1024)][:1024]
+        base = self.default_target_size
+        widths, heights = [], []
+        for path in files:
+            with Image.open(path) as im:
+                w, h = im.size
+            if isinstance(base, (tuple, list)):
+                w, h = base
+            elif isinstance(base, int) and base > 0:
+                # shorter side -> base, aspect preserved (_resize_target)
+                if w < h:
+                    w, h = base, round(h * base / w)
+                else:
+                    w, h = round(w * base / h), base
+            widths.append(w)
+            heights.append(h)
+        self.cropsize = (int(np.median(widths)), int(np.median(heights)))
+        return self.cropsize
 
     #: set False to force the pure-Python (PIL) decode path
     use_native = True
@@ -278,9 +324,10 @@ class FileDataset(DatasetBase):
                 from .. import native
 
                 if native.loader() is not None:
+                    cw, ch = self._resolved_cropsize()
                     batch, ok = native.decode_batch(
                         files, targets, seeds, train,
-                        self.cropsize[1], self.cropsize[0],
+                        ch, cw,
                         n_threads=self.read_workers,
                     )
                     if not ok.all():

@@ -7,8 +7,11 @@ for ILSVRC val.  Here query blocks stream through the device: one
 hierarchical-precision math consumes the ranking block immediately
 (:class:`~semantic_embeddings_tpu.evaluation.hierarchical.HPEvaluator`), so
 peak memory is O(B * N) instead of O(N^2).  On a multi-chip mesh the
-database matrix is replicated and query blocks are sharded on the ``data``
-axis; per-block work is embarrassingly parallel.
+default is a replicated database with query blocks sharded on the ``data``
+axis (per-block work embarrassingly parallel); ``db_sharded=True`` instead
+shards the DATABASE rows across chips — per-chip exact top-k + one small
+cross-chip candidate merge (:func:`_db_sharded_ranker`) — for O(N/n_dev)
+database memory at large scales.
 """
 
 from __future__ import annotations
@@ -110,8 +113,84 @@ def pairwise_retrieval(features, normalize=False, return_generator=True):
     return gen() if return_generator else dict(gen())
 
 
-def _device_metric_fn(evaluator, normalize, topk=None):
+def _db_sharded_ranker(mesh, normalize, topk, n_real):
+    """(queries, database, q_index) -> top-(topk+1) GLOBAL indices with the
+    database SHARDED on its row axis across the mesh (O(N/n_dev) database
+    memory per chip instead of O(N)).
+
+    The two-stage trick of ``ops/topk.py`` lifted onto the mesh axis: each
+    chip computes an exact local top-k over its database shard (local sims
+    never leave the chip), then the (n_dev * k) candidates per query ride
+    one small ``all_gather`` and a final (value desc, index asc) sort
+    merges them — bit-identical to the replicated ranking incl. tie order
+    (per-chip candidates are index-ascending among equal values, chips are
+    offset-ordered, and the merge re-sorts by explicit global index).
+
+    Closes SURVEY §5.7's "stream database blocks" requirement: at
+    iNat-2018 scale (461k x 1024 f32) the replicated database costs
+    ~1.9 GB/chip; sharded it is ~240 MB on 8 chips.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS
+    from ..ops.topk import exact_topk
+
+    k_out = topk + 1  # query self-hit rides at rank 0, stripped downstream
+
+    def local(queries, db_local):
+        ax = jax.lax.axis_index(DATA_AXIS)
+        n_local = db_local.shape[0]
+        if normalize:
+            sims = queries @ db_local.T
+        else:
+            sq_db = jnp.sum(db_local * db_local, axis=-1)
+            sq_q = jnp.sum(queries * queries, axis=-1)
+            sims = -(sq_q[:, None] + sq_db[None, :]) + 2.0 * (
+                queries @ db_local.T
+            )
+        gids = ax * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        # rows beyond the real database (shard padding) can never win
+        sims = jnp.where(gids[None, :] >= n_real, -jnp.inf, sims)
+        k_local = min(k_out, n_local)
+        vals, idx = exact_topk(sims, k_local)
+        gidx = (idx + ax * n_local).astype(jnp.int32)
+        vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_g = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        # merge: ascending (-value, global index) == descending value with
+        # lax.top_k's smaller-index-wins tie rule
+        _, merged = jax.lax.sort((-vals_g, gidx_g), dimension=1, num_keys=2)
+        return merged[:, :k_out]
+
+    ranker = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def rank(queries, database, q_index):
+        # Pin the query itself to rank 0 (qid-removal semantics) WITHOUT
+        # touching the sharded sims: its global index is known, so just
+        # prepend it and drop any duplicate occurrence from the merge.
+        merged = ranker(queries, database)  # (B, topk+1) global ids
+        is_self = merged == q_index[:, None]
+        # stable partition: self (if found) removed, others keep order
+        order = jnp.argsort(is_self, axis=1, stable=True)
+        no_self = jnp.take_along_axis(merged, order[:, : k_out - 1], axis=1)
+        return jnp.concatenate([q_index[:, None].astype(jnp.int32),
+                                no_self.astype(jnp.int32)], axis=1)
+
+    return rank
+
+
+def _device_metric_fn(evaluator, normalize, topk=None, ranker=None):
     """One jitted call: query block -> ranking -> HP/AHP/AP scalars.
+
+    ``ranker``: optional external ranking fn (the DB-sharded top-k merge,
+    :func:`_db_sharded_ranker`) returning (B, topk+1) global indices with
+    the query at rank 0; replaces the in-function sims+sort.
 
     Fuses the GEMM, sort, class gathers, cumulative sums and metric
     reductions so only per-query scalars leave the device.  Assumes the
@@ -161,16 +240,24 @@ def _device_metric_fn(evaluator, normalize, topk=None):
         # argsort + gather on TPU (the metrics never need item indices).
         # lax.sort is stable, so ties keep database order like the stable
         # argsort path.
-        if normalize:
-            sims = queries @ database.T
+        if ranker is not None:
+            idx = ranker(queries, database, q_index)
+            ranked_cls = db_classes[idx[:, 1:]]
+            sims = None
         else:
-            sq_db = jnp.sum(database * database, axis=-1)
-            sq_q = jnp.sum(queries * queries, axis=-1)
-            sims = -(sq_q[:, None] + sq_db[None, :]) + 2.0 * (
-                queries @ database.T
-            )
-        sims = sims.at[jnp.arange(queries.shape[0]), q_index].set(jnp.inf)
-        if topk is not None:
+            if normalize:
+                sims = queries @ database.T
+            else:
+                sq_db = jnp.sum(database * database, axis=-1)
+                sq_q = jnp.sum(queries * queries, axis=-1)
+                sims = -(sq_q[:, None] + sq_db[None, :]) + 2.0 * (
+                    queries @ database.T
+                )
+            sims = sims.at[
+                jnp.arange(queries.shape[0]), q_index].set(jnp.inf)
+        if ranker is not None:
+            pass
+        elif topk is not None:
             # Prefix ranking: exact chunked top-k (ops/topk.py) — identical
             # results to lax.top_k incl. ascending-index tie order (matching
             # the stable descending sort below), but ~1.6x faster: XLA:TPU
@@ -233,6 +320,7 @@ def evaluate_retrieval_features(
     normalize=False,
     block_size=None,
     mesh=None,
+    db_sharded=False,
 ):
     """Full device-path evaluation: features -> hierarchical metrics.
 
@@ -241,6 +329,11 @@ def evaluate_retrieval_features(
     database size (targets a ~2 GB on-device similarity block — larger
     blocks amortize the per-dispatch latency, which dominates on a
     tunneled backend).
+    ``db_sharded``: with a ``mesh``, shard the DATABASE rows across chips
+    (O(N/n_dev) database memory each) instead of replicating it; requires
+    the top-k prefix protocol (no AP, clipped AHP) — the cross-chip merge
+    is a k-way candidate merge, identical results to the replicated path
+    (tested).  Default remains query-sharded + replicated database.
     Returns ``(means, per_query)`` with the reference's metric names.
     """
     ids, feats = load_features(features)
@@ -286,15 +379,42 @@ def evaluate_retrieval_features(
         # ~2 GB f32 similarity block, power-of-two, within [1024, 8192].
         block_size = int(min(8192, max(1024, 2 ** int(np.log2(
             max(1.0, 2e9 / 4.0 / max(n, 1)))))))
-    block_metrics = _device_metric_fn(evaluator, normalize, topk=topk)
+    ranker = None
+    if db_sharded:
+        if mesh is None:
+            raise ValueError("db_sharded needs a mesh")
+        if topk is None:
+            raise ValueError(
+                "db_sharded requires the top-k prefix protocol "
+                "(compute_ap=False and a clipped compute_ahp): full-sort "
+                "metrics need every rank, which a sharded database cannot "
+                "produce without an all-to-all of the whole sims matrix"
+            )
+        ranker = _db_sharded_ranker(mesh, normalize, topk, n_real=n)
+    block_metrics = _device_metric_fn(
+        evaluator, normalize, topk=topk, ranker=ranker)
     if mesh is not None:
-        from ..parallel import batch_sharding, replicated
+        from ..parallel import DATA_AXIS, batch_sharding, replicated
+        from jax.sharding import NamedSharding, PartitionSpec
 
         n_dev = mesh.devices.size
         block_size = max(block_size, n_dev)
         block_size += (-block_size) % n_dev
-        database = jax.device_put(jnp.asarray(feats_arr), replicated(mesh))
-        q_shard = batch_sharding(mesh)
+        if db_sharded:
+            # pad the database rows to a mesh multiple; padded rows are
+            # masked to -inf inside the sharded ranker
+            pad = (-n) % n_dev
+            db_host = np.pad(feats_arr, ((0, pad), (0, 0)))
+            database = jax.device_put(
+                jnp.asarray(db_host),
+                NamedSharding(mesh, PartitionSpec(DATA_AXIS)))
+            # queries are replicated: every chip scores every query
+            # against its own database shard
+            q_shard = replicated(mesh)
+        else:
+            database = jax.device_put(
+                jnp.asarray(feats_arr), replicated(mesh))
+            q_shard = batch_sharding(mesh)
     else:
         database = jnp.asarray(feats_arr)
         q_shard = None

@@ -142,6 +142,7 @@ class ReductionCell(nn.Module):
 
     @nn.compact
     def __call__(self, h_prev, h, train=False):
+        raw = h
         p = _Adjust(
             self.features,
             reduce_spatial=(
@@ -151,7 +152,12 @@ class ReductionCell(nn.Module):
         )(h_prev, train)
         h = _Squeeze(self.features, dtype=self.dtype, name="squeeze_h")(h, train)
         if p is None:
-            p = h
+            # Keras's _adjust_block falls back to the RAW cell input (the
+            # first stem reduction consumes the unprojected 96-ch stem on
+            # its p path; the separable pointwises do the 96->F
+            # projection).  Using the squeezed h here instead was the
+            # round-1 13,446-param deficit vs keras NASNetLarge.
+            p = raw
 
         def sep(k, name, stride=2):
             return SepConvBlock(self.features, k, stride, dtype=self.dtype,

@@ -235,3 +235,32 @@ def test_synthetic_dataset_shapes():
     assert ds.steps_per_epoch(32) == 3
     raw = next(iter(ds.train_batches(32, 0, 0)))
     assert raw["idx"].shape == (32,)
+
+
+def test_cropsize_none_uses_dataset_median(nab_dir):
+    """cropsize=None resolves to the dataset-median TRANSFORMED size —
+    the static-shape counterpart of the reference's per-batch median crop
+    (datasets/common.py:409-413); deviation documented in PARITY.md."""
+    # images are 50 x (40..63); no resize -> median width 50,
+    # median height = median(40+i for train indices)
+    ds = NABDataset(
+        nab_dir, cropsize=None, default_target_size=-1,
+        mean=[120.0] * 3, std=[60.0] * 3,
+    )
+    cw, ch = ds._resolved_cropsize()
+    heights = [40 + i for i in range(24) if i % 3]  # train split
+    assert cw == 50
+    assert ch == int(np.median(heights))
+    raw = next(iter(ds.train_batches(4, epoch=0, seed=0)))
+    assert raw["image"].shape == (4, ch, cw, 3)
+
+    # with a shorter-side target the median is of the RESIZED dims
+    ds2 = NABDataset(
+        nab_dir, cropsize=None, default_target_size=36,
+        mean=[120.0] * 3, std=[60.0] * 3,
+    )
+    cw2, ch2 = ds2._resolved_cropsize()
+    # aspect ratios are mixed (50 wide x 40..63 tall), so just check the
+    # batch shape is static and equals the resolved median size
+    raw2 = next(iter(ds2.train_batches(4, epoch=0, seed=0)))
+    assert raw2["image"].shape == (4, ch2, cw2, 3)

@@ -197,8 +197,18 @@ def test_nasnet_a():
 
     spec = build_network(1000, "nasnet-a", classification=True)
     variables = _shape_init(spec.module, (1, 224, 224, 3))
-    n = _param_count(variables)
-    assert 86e6 < n < 92e6  # NASNetLarge ~88.9M
+    # EXACT parity with keras NASNetLarge: keras's count_params folds the
+    # BN moving statistics in as non-trainable weights, which flax keeps in
+    # batch_stats — count both.  84,916,818 without top (verified against
+    # tf_keras.applications.NASNetLarge(include_top=False)), + the
+    # 4032x1000(+bias) classifier = the published 88,949,818.
+    import jax
+
+    n = _param_count(variables) + sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(variables["batch_stats"])
+    )
+    assert n == 88_949_818, n
     tiny = NASNetA(classes=5, num_normal_cells=1, penultimate_filters=24 * 4,
                    stem_filters=8, top_activation=None)
     import jax

@@ -210,3 +210,57 @@ def test_shard_batch_single_process_unchanged(setup):
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     assert float(out["s"]) == 3.0
     assert out["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_db_sharded_retrieval_matches_replicated(setup):
+    """Database-sharded mode (per-chip exact top-k + cross-chip candidate
+    merge, O(N/n_dev) database memory) must produce identical metrics to
+    the replicated-database path (SURVEY §5.7 "stream database blocks")."""
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy(
+        {"a": ["r"], "b": ["r"], "c": ["s"], "d": ["s"], "r": ["t"], "s": ["t"]},
+        {"t": ["r", "s"], "r": ["a", "b"], "s": ["c", "d"]},
+    )
+    rng = np.random.default_rng(11)
+    labels = [["a", "b", "c", "d"][i % 4] for i in range(61)]  # odd N: padding
+    feats = rng.normal(size=(61, 8)).astype(np.float32)
+    # duplicate rows force value ties across different database shards —
+    # the merge's tie order must still match the replicated ranking
+    feats[7] = feats[3]
+    feats[45] = feats[3]
+    kwargs = dict(ks=[1, 5], compute_ahp=12, compute_ap=False,
+                  normalize=True, block_size=16)
+    mesh = get_mesh(8)
+    replicated_means, replicated_pq = evaluate_retrieval_features(
+        feats, labels, h, mesh=mesh, **kwargs)
+    sharded_means, sharded_pq = evaluate_retrieval_features(
+        feats, labels, h, mesh=mesh, db_sharded=True, **kwargs)
+    for name in replicated_means:
+        assert sharded_means[name] == pytest.approx(
+            replicated_means[name], abs=1e-6), name
+        for q in replicated_pq[name]:
+            assert sharded_pq[name][q] == pytest.approx(
+                replicated_pq[name][q], abs=1e-6), (name, q)
+
+
+def test_db_sharded_requires_topk_protocol(setup):
+    from semantic_embeddings_tpu.evaluation.retrieval import (
+        evaluate_retrieval_features,
+    )
+    from semantic_embeddings_tpu.hierarchy import ClassHierarchy
+
+    h = ClassHierarchy({"a": ["r"], "b": ["r"]}, {"r": ["a", "b"]})
+    feats = np.eye(8, dtype=np.float32)
+    labels = ["a", "b"] * 4
+    with pytest.raises(ValueError, match="db_sharded requires"):
+        evaluate_retrieval_features(
+            feats, labels, h, mesh=get_mesh(8), db_sharded=True,
+            compute_ap=True)
+    with pytest.raises(ValueError, match="needs a mesh"):
+        evaluate_retrieval_features(
+            feats, labels, h, db_sharded=True, compute_ap=False,
+            compute_ahp=4, ks=[1])

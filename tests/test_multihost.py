@@ -1,0 +1,92 @@
+"""REAL multi-host execution: two OS processes, 4 virtual CPU devices each,
+joined by ``jax.distributed.initialize`` into one 8-device global mesh.
+
+This executes the half of `parallel/mesh.py` that single-process tests
+cannot: `shard_batch`'s ``jax.make_array_from_process_local_data`` branch,
+cross-process (gloo) gradient collectives, and the full ``fit`` loop under
+``process_count == 2``.  The reference's distribution role is
+``multi_gpu_model`` (`/root/reference/learn_image_embeddings.py:133,148`);
+the parity bar is the same as `test_multichip.py`: the distributed run must
+match the single-process 8-device run numerically.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    outs = [str(tmp_path / f"worker{i}.npz") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "_multihost_worker.py"),
+             coord, "2", str(i), outs[i]],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+
+    # In-process single-host baseline on the 8-device CPU mesh
+    # (conftest.py provides the 8 virtual devices).
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    sys.path.insert(0, TESTS_DIR)
+    from _multihost_common import run_fit
+
+    base_params, base_logged = run_fit(get_mesh(8))
+
+    for out in outs:
+        got = np.load(out)
+        assert set(got.files) == set(base_params)
+        for k in base_params:
+            # The 2-process program reduces in a different order than the
+            # 1-process 8-device one: measured one-step divergence 2.6e-7,
+            # amplified over 4 SGD+momentum+BN steps
+            np.testing.assert_allclose(
+                got[k], base_params[k], atol=2e-4, err_msg=k)
+        logged = json.load(open(out + ".metrics.json"))
+        assert len(logged) == len(base_logged)
+        for m_got, m_base in zip(logged, base_logged):
+            for key in m_base:
+                assert m_got[key] == pytest.approx(m_base[key], abs=1e-4), key
+
+    # The two workers must agree with each other bitwise-closely too.
+    a, b = np.load(outs[0]), np.load(outs[1])
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
