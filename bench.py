@@ -148,16 +148,58 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     ips = BATCH * MEASURE_STEPS / best
-    print(
-        json.dumps(
-            {
-                "metric": "train_images_per_sec_per_chip_resnet110wfc_cifar100_cosine",
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / KERAS_GPU_BASELINE_IPS, 3),
-            }
-        )
-    )
+
+    out = {
+        "metric": "train_images_per_sec_per_chip_resnet110wfc_cifar100_cosine",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / KERAS_GPU_BASELINE_IPS, 3),
+    }
+    if os.environ.get("BENCH_RN50", "1") != "0":
+        try:
+            out["extra"] = {"rn50_224_ips": round(bench_rn50(jax), 1)}
+        except Exception as e:  # never let the extra config kill the headline
+            out["extra"] = {"rn50_224_error": repr(e)[:200]}
+    print(json.dumps(out))
+
+
+def bench_rn50(jax, batch=128, size=224, steps=10, windows=2):
+    """ResNet-50 @224 bf16 train-step throughput (img/s) — the VERDICT r1
+    secondary config (the reference's CUB/NAB/ILSVRC recipes,
+    ``/root/reference/README.md:267,283,304``). Disable with BENCH_RN50=0."""
+    import jax.numpy as jnp
+
+    from semantic_embeddings_tpu.data import SyntheticDataset
+    from semantic_embeddings_tpu.models import EmbeddingModel, build_network
+    from semantic_embeddings_tpu.train import make_train_step, new_train_state
+
+    embedding = np.eye(100, dtype=np.float32)
+    dataset = SyntheticDataset(num_classes=100, n_train=batch * 4,
+                               n_test=batch, size=size)
+    spec = build_network(100, "resnet-50", dtype=jnp.bfloat16)
+    model = EmbeddingModel(backbone=spec.module, output="l2norm",
+                           cls_classes=100, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, size, size, 3)), train=False))(jax.random.PRNGKey(0))
+    state = new_train_state(variables)
+    prepare = dataset.make_prepare(augment_train=False)
+    step = make_train_step(
+        model, prepare, loss_name="inv_corr", class_embedding=embedding,
+        cls_weight=0.1, l2_penalty_fn=spec.l2_penalty, clipnorm=10.0,
+        donate=True)
+    raws = list(dataset.train_batches(batch, 0, 0))
+    rng = jax.random.PRNGKey(0)
+    for i in range(5):
+        state, m = step(state, raws[i % len(raws)], 0.1, rng)
+    jax.block_until_ready(m)
+    best = np.inf
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = step(state, raws[i % len(raws)], 0.1, rng)
+        jax.block_until_ready(m)
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
 
 
 if __name__ == "__main__":

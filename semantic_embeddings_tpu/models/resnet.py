@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import KerasBatchNorm, conv, dense, global_avg_pool, max_pool
@@ -39,26 +40,126 @@ def _bn(dtype, name):
     return KerasBatchNorm(momentum=0.99, epsilon=1.001e-5, dtype=dtype, name=name)
 
 
+class SpaceToDepthStem(nn.Module):
+    """The 7x7/2 stem conv computed as a 4x4/1 conv over 2x2 space-to-depth
+    input — mathematically identical, 4x the MXU lane utilization.
+
+    A 7x7 stride-2 conv on 3-channel input runs at Cin/128 = 2.3% MXU lane
+    utilization (stem fwd + weight-grad: ~1.4 ms of the 45 ms
+    ResNet-50@224 v5e step).  Because the stride (2) divides the transform
+    factor, the exact same linear map factors through space-to-depth with
+    NO extra FLOPs (unlike stride-1 convs, SPEED.md "measured dead end"):
+    pad the kernel 7->8, split every spatial tap u into (2a + di), and the
+    conv becomes 4x4 stride-1 over (H/2, W/2, 4*Cin) — Cin 3 -> 12 lanes.
+    MEASURED NET-NEUTRAL at @224 batch 128 (the stem conv ops disappear
+    but the input transpose costs the saving back; SPEED.md r2) — opt-in.
+
+    The parameter keeps the canonical (7, 7, Cin, F) shape and the ``conv0``
+    name, so checkpoints, the h5 importer, finetuning and export are
+    byte-compatible with the plain stem; the reshape to (4, 4, 4*Cin, F)
+    happens in-graph (9 KB of weight shuffling per step — free).
+    """
+
+    features: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (7, 7, cin, self.features),
+        )
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        # TF SAME for k=7, s=2, even input: pad_total 5 -> (2, 3); one more
+        # bottom/right zero row makes the padded size even for the 2x2
+        # space-to-depth (the extra row can only meet kernel zeros).
+        xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+        hp = xp.shape[1] // 2
+        wp = xp.shape[2] // 2
+        s = xp.reshape(b, hp, 2, wp, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+        s = s.reshape(b, hp, wp, 4 * cin)
+        # kernel: pad u,v 7->8, split u=2a+di, v=2b'+dj, channel order
+        # (di, dj, c) matching the s2d transpose above
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.features)
+        if self.dtype is not None:
+            s = s.astype(self.dtype)
+            k4 = k4.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            s, k4, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class Conv1x1AsDot(nn.Module):
+    """A 1x1 conv expressed as a flattened (B*H*W, Cin) @ (Cin, F) matmul.
+
+    XLA:TPU's conv emitter places 56x56 stage-1 conv outputs in a
+    batch-in-sublanes layout ({3,0,2,1}) and the surrounding 1x1-conv
+    fusions then run at 1.4-2.4 TF/s / ~30-50 GB/s (traced; 25x off the
+    HBM roofline).  A 1x1 conv has no spatial structure, so presenting it
+    as a plain dot routes it through the GEMM emitter instead.  Parameter
+    shape/name match ``nn.Conv`` ((1, 1, Cin, F) ``kernel``) for
+    checkpoint/importer compatibility; stride 2 is a spatial subsample
+    before the dot (exactly what a strided 1x1 conv computes).
+    """
+
+    features: int
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (1, 1, cin, self.features),
+        )
+        if self.stride != 1:
+            x = x[:, ::self.stride, ::self.stride, :]
+        b, h, w, _ = x.shape
+        k = kernel[0, 0]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = k.astype(self.dtype)
+        y = jnp.dot(x.reshape(b * h * w, cin), k)
+        return y.reshape(b, h, w, self.features)
+
+
 class BottleneckBlock(nn.Module):
     features: int
     stride: int = 1
     project: bool = False
+    conv1x1_as_dot: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        y = conv(f, 1, self.stride, use_bias=False, name="conv_a", dtype=self.dtype)(x)
+
+        def c1(features, stride, name):
+            if self.conv1x1_as_dot:
+                return Conv1x1AsDot(features, stride, dtype=self.dtype,
+                                    name=name)
+            return conv(features, 1, stride, use_bias=False, name=name,
+                        dtype=self.dtype)
+
+        y = c1(f, self.stride, "conv_a")(x)
         y = _bn(self.dtype, "bn_a")(y, train)
         y = nn.relu(y)
         y = conv(f, 3, use_bias=False, name="conv_b", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_b")(y, train)
         y = nn.relu(y)
-        y = conv(f * 4, 1, use_bias=False, name="conv_c", dtype=self.dtype)(y)
+        y = c1(f * 4, 1, "conv_c")(y)
         y = _bn(self.dtype, "bn_c")(y, train)
         shortcut = x
         if self.project:
-            shortcut = conv(f * 4, 1, self.stride, use_bias=False, name="conv_sc", dtype=self.dtype)(x)
+            shortcut = c1(f * 4, self.stride, "conv_sc")(x)
             shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
         return nn.relu(y + shortcut)
 
@@ -93,6 +194,14 @@ class ResNet(nn.Module):
     #: extra forward FLOPs for O(depth) less activation memory; needed for
     #: large inputs (448px CUB/NAB recipes) at training batch sizes.
     remat: bool = False
+    #: compute the 7x7/2 stem as a 4x4/1 conv over space-to-depth input —
+    #: mathematically identical (tested); measured NET-NEUTRAL on v5e @224
+    #: batch 128 (stem conv fwd+dW ops disappear from the profile, ~1.4
+    #: ms/step, but the input s2d transpose costs the same back: 46.9 vs
+    #: 46.4 ms/step) — kept as an opt-in lever for other input geometries
+    stem_s2d: bool = False
+    #: express 1x1 convs as flattened GEMMs (Conv1x1AsDot) — probe flag
+    conv1x1_as_dot: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -103,7 +212,11 @@ class ResNet(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
 
-        x = conv(64, 7, 2, use_bias=False, name="conv0", dtype=self.dtype)(x)
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = SpaceToDepthStem(64, dtype=self.dtype, name="conv0")(x)
+        else:
+            x = conv(64, 7, 2, use_bias=False, name="conv0",
+                     dtype=self.dtype)(x)
         x = _bn(self.dtype, "bn0")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, padding="SAME")
@@ -111,12 +224,17 @@ class ResNet(nn.Module):
         for stage, n_blocks in enumerate(blocks):
             features = 64 * (2 ** stage)
             for b in range(n_blocks):
+                extra = (
+                    {"conv1x1_as_dot": self.conv1x1_as_dot}
+                    if bottleneck else {}
+                )
                 x = block_cls(
                     features=features,
                     stride=2 if (b == 0 and stage > 0) else 1,
                     project=b == 0,
                     dtype=self.dtype,
                     name=f"stage{stage + 1}_block{b + 1}",
+                    **extra,
                 )(x, train)
 
         x = global_avg_pool(x)

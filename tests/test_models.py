@@ -311,3 +311,74 @@ def test_cls_base_errors():
                              cls_classes=3, cls_base="nope")
     with pytest.raises(ValueError, match="matched no module"):
         missing.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_space_to_depth_stem_equals_7x7_conv():
+    """SpaceToDepthStem must compute the exact 7x7/2 SAME conv (same
+    kernel parameter), including the gradient."""
+    import jax
+
+    from semantic_embeddings_tpu.models.resnet import SpaceToDepthStem
+
+    rng = np.random.default_rng(0)
+    for hw in (64, 224):
+        x = jnp.asarray(rng.normal(0, 1, (2, hw, hw, 3)).astype(np.float32))
+        stem = SpaceToDepthStem(16)
+        v = stem.init(jax.random.PRNGKey(0), x)
+        y = stem.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=0, atol=2e-5)
+    g1 = jax.grad(lambda k: float0_sum(stem.apply({"params": {"kernel": k}}, x)))(
+        v["params"]["kernel"])
+    g2 = jax.grad(lambda k: float0_sum(jax.lax.conv_general_dilated(
+        x, k, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))))(v["params"]["kernel"])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-3)
+
+
+def float0_sum(y):
+    return (y * y).sum()
+
+
+def test_conv1x1_as_dot_equals_conv():
+    import jax
+
+    from semantic_embeddings_tpu.models.resnet import Conv1x1AsDot
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 12)).astype(np.float32))
+    for stride in (1, 2):
+        mod = Conv1x1AsDot(24, stride)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        y = mod.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+
+def test_resnet_stem_variants_share_checkpoint_tree():
+    """stem_s2d / conv1x1_as_dot must not change the parameter tree
+    (checkpoints, importer, finetuning all interchange)."""
+    import dataclasses
+
+    import jax
+
+    from semantic_embeddings_tpu.models.resnet import ResNet
+
+    base = ResNet(depth=50, classes=10, include_top=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    trees = []
+    for s2d in (False, True):
+        for dot in (False, True):
+            m = dataclasses.replace(base, stem_s2d=s2d, conv1x1_as_dot=dot)
+            shapes = jax.eval_shape(
+                lambda m=m: m.init(jax.random.PRNGKey(0), x, train=False))
+            trees.append(jax.tree_util.tree_structure(shapes))
+            if len(trees) > 1:
+                assert trees[-1] == trees[0]

@@ -138,3 +138,28 @@ def test_exact_topk_inf_heavy_rows():
         v2, i2 = exact_topk(xj, k, chunk=chunk)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_conv3x3_bn_stats_matches_xla():
+    """Pallas fused conv+BN-stats (interpret mode) must equal the unfused
+    XLA conv -> convert -> reduce chain, incl. bf16 rounding of y."""
+    from semantic_embeddings_tpu.ops.fused_conv_bn import (
+        conv3x3_bn_stats,
+        conv3x3_bn_stats_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)).astype(np.float32),
+                        dtype=dtype)
+        w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 8)).astype(np.float32),
+                        dtype=dtype)
+        y, s, ss = conv3x3_bn_stats(x, w, interpret=True)
+        yr, sr, ssr = conv3x3_bn_stats_reference(x, w)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(yr, np.float32),
+            rtol=0, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sr),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(ssr),
+                                   rtol=1e-5, atol=1e-3)

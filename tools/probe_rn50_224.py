@@ -99,6 +99,10 @@ def main():
     p.add_argument("--trace_batch", type=int, default=0)
     p.add_argument("--trace_dir", type=str, default="/tmp/trace_rn50")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--dot1x1", action="store_true",
+                   help="express 1x1 convs as flattened GEMMs")
+    p.add_argument("--no_s2d", action="store_true",
+                   help="disable the space-to-depth stem")
     args = p.parse_args()
 
     import jax
@@ -126,8 +130,15 @@ def main():
                 num_classes=100, n_train=batch * 4, n_test=batch,
                 size=args.size)
             spec = build_network(100, "resnet-50", dtype=dtype, remat=remat)
+            backbone = spec.module
+            if args.dot1x1 or args.no_s2d:
+                import dataclasses
+
+                backbone = dataclasses.replace(
+                    backbone, conv1x1_as_dot=args.dot1x1,
+                    stem_s2d=not args.no_s2d)
             model = EmbeddingModel(
-                backbone=spec.module, output="l2norm", cls_classes=100,
+                backbone=backbone, output="l2norm", cls_classes=100,
                 dtype=dtype)
             variables = jax.jit(lambda k: model.init(
                 k, jnp.zeros((1, args.size, args.size, 3)), train=False)
