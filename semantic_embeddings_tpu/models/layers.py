@@ -196,13 +196,14 @@ def conv(
     kernel_init="glorot_uniform",
     name=None,
     dtype=None,
+    padding="SAME",
 ):
     """3x3-style SAME conv with Keras-like defaults."""
     return nn.Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
-        padding="SAME",
+        padding=padding,
         use_bias=use_bias,
         kernel_init=INITIALIZERS[kernel_init](),
         name=name,

@@ -37,7 +37,11 @@ STAGE_BLOCKS = {
 
 
 def _bn(dtype, name):
-    return KerasBatchNorm(momentum=0.99, epsilon=1.001e-5, dtype=dtype, name=name)
+    # Keras-2.2 parity: keras_applications' resnet50 (and keras-resnet)
+    # never pass epsilon, so every BN runs at the Keras default 1e-3 —
+    # NOT the 1.001e-5 of modern tf.keras resnets.  Matters for imported
+    # reference .h5 models (53 BNs compound the difference).
+    return KerasBatchNorm(momentum=0.99, epsilon=1e-3, dtype=dtype, name=name)
 
 
 class SpaceToDepthStem(nn.Module):
@@ -68,15 +72,15 @@ class SpaceToDepthStem(nn.Module):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
-            nn.initializers.glorot_uniform(),
+            nn.initializers.he_normal(),
             (7, 7, cin, self.features),
         )
         b, h, w, _ = x.shape
         assert h % 2 == 0 and w % 2 == 0, (h, w)
-        # TF SAME for k=7, s=2, even input: pad_total 5 -> (2, 3); one more
-        # bottom/right zero row makes the padded size even for the 2x2
-        # space-to-depth (the extra row can only meet kernel zeros).
-        xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+        # Keras-2.2 stem alignment (ZeroPadding2D((3,3)) + VALID conv, see
+        # ResNet.__call__): h+6 is even, so the 2x2 space-to-depth divides
+        # it exactly and the 4x4 VALID conv lands on precisely h/2 rows.
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         hp = xp.shape[1] // 2
         wp = xp.shape[2] // 2
         s = xp.reshape(b, hp, 2, wp, 2, cin).transpose(0, 1, 3, 2, 4, 5)
@@ -117,7 +121,7 @@ class Conv1x1AsDot(nn.Module):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
-            nn.initializers.glorot_uniform(),
+            nn.initializers.he_normal(),
             (1, 1, cin, self.features),
         )
         if self.stride != 1:
@@ -147,12 +151,13 @@ class BottleneckBlock(nn.Module):
                 return Conv1x1AsDot(features, stride, dtype=self.dtype,
                                     name=name)
             return conv(features, 1, stride, use_bias=False, name=name,
-                        dtype=self.dtype)
+                        kernel_init="he_normal", dtype=self.dtype)
 
         y = c1(f, self.stride, "conv_a")(x)
         y = _bn(self.dtype, "bn_a")(y, train)
         y = nn.relu(y)
-        y = conv(f, 3, use_bias=False, name="conv_b", dtype=self.dtype)(y)
+        y = conv(f, 3, use_bias=False, name="conv_b",
+                 kernel_init="he_normal", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_b")(y, train)
         y = nn.relu(y)
         y = c1(f * 4, 1, "conv_c")(y)
@@ -173,14 +178,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        y = conv(f, 3, self.stride, use_bias=False, name="conv_a", dtype=self.dtype)(x)
+        y = conv(f, 3, self.stride, use_bias=False, name="conv_a",
+                 kernel_init="he_normal", dtype=self.dtype)(x)
         y = _bn(self.dtype, "bn_a")(y, train)
         y = nn.relu(y)
-        y = conv(f, 3, use_bias=False, name="conv_b", dtype=self.dtype)(y)
+        y = conv(f, 3, use_bias=False, name="conv_b",
+                 kernel_init="he_normal", dtype=self.dtype)(y)
         y = _bn(self.dtype, "bn_b")(y, train)
         shortcut = x
         if self.project:
-            shortcut = conv(f, 1, self.stride, use_bias=False, name="conv_sc", dtype=self.dtype)(x)
+            shortcut = conv(f, 1, self.stride, use_bias=False, name="conv_sc",
+                            kernel_init="he_normal", dtype=self.dtype)(x)
             shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
         return nn.relu(y + shortcut)
 
@@ -212,14 +220,25 @@ class ResNet(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
 
+        # Keras-2.2 stem parity (keras_applications 1.0.8 resnet50.py —
+        # the module `keras.applications.ResNet50` resolves to under the
+        # reference's `keras == 2.2` pin): ZeroPadding2D((3,3)) + VALID
+        # 7x7/2 conv, then ZeroPadding2D((1,1)) + VALID 3x3/2 max-pool.
+        # Same output shapes as SAME at even inputs but one-pixel-shifted
+        # receptive fields — imported .h5 models see the exact alignment
+        # they were trained with.  (Zero-pad before max-pool is exact:
+        # activations are post-relu, >= 0.)
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = SpaceToDepthStem(64, dtype=self.dtype, name="conv0")(x)
         else:
+            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
             x = conv(64, 7, 2, use_bias=False, name="conv0",
+                     padding="VALID", kernel_init="he_normal",
                      dtype=self.dtype)(x)
         x = _bn(self.dtype, "bn0")(x, train)
         x = nn.relu(x)
-        x = max_pool(x, 3, 2, padding="SAME")
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = max_pool(x, 3, 2, padding="VALID")
 
         for stage, n_blocks in enumerate(blocks):
             features = 64 * (2 ** stage)

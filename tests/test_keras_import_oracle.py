@@ -244,14 +244,16 @@ def test_importer_forward_parity_slow(ref_utils, arch, embed_dim, tmp_path):
 
 
 def test_resnet50_name_map_covers_model(ref_utils, tmp_path):
-    """resnet-50 is mapped BY NAME (res{S}{L}_branch…), so the oracle check
-    is structural: build the same v1 architecture with tf_keras's modern
-    ResNet50, translate its modern layer names to the Keras-2.2 names the
-    reference's h5 files use, and assert the importer covers our whole
-    model with the right shapes.  (No forward parity here: tf_keras's
-    modern ResNet50 hardcodes BN eps 1.001e-5 while the Keras-2.2 models
-    the importer targets used the 1e-3 default, which our implementation
-    mirrors.)"""
+    """resnet-50 oracle: build the same v1 architecture with tf_keras's
+    modern ResNet50, translate its modern layer names to the Keras-2.2
+    names the reference's h5 files use (res{S}{L}_branch…), import, and
+    assert (a) full coverage with the right shapes and (b) numerical
+    forward parity.  One known constant differs: tf_keras's modern
+    ResNet50 hardcodes BN eps 1.001e-5 while Keras 2.2's used the 1e-3
+    default (which our model mirrors for imported reference h5s) — the
+    comparison compensates exactly by shifting every imported moving
+    variance by (1.001e-5 - 1e-3), which turns our 1e-3 BNs into the
+    oracle's 1.001e-5 BNs with no other effect at inference."""
     tf_keras.backend.clear_session()
     km = ref_utils.build_network(100, "resnet-50")
     _randomize_weights(km, seed=50)
@@ -304,3 +306,29 @@ def test_resnet50_name_map_covers_model(ref_utils, tmp_path):
     _merge_full(flax.core.unfreeze(variables["params"]), params, "rn50 params")
     _merge_full(flax.core.unfreeze(variables["batch_stats"]), batch_stats,
                 "rn50 batch_stats")
+
+    # forward parity (eps-compensated, see docstring)
+    def shift_var(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = shift_var(v)
+            elif k == "var":
+                out[k] = v + np.float32(1.001e-5 - 1e-3)
+            else:
+                out[k] = v
+        return out
+
+    rng2 = np.random.default_rng(1)
+    x = rng2.normal(0.0, 1.0, (2, 224, 224, 3)).astype(np.float32)
+    y_ref = km.predict(x, verbose=0)
+    y_ours = spec.module.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(
+             jnp.asarray, shift_var(batch_stats))},
+        jnp.asarray(x), train=False,
+    )
+    assert y_ours.shape == y_ref.shape
+    scale = max(1e-3, float(np.abs(y_ref).max()))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=0,
+                               atol=3e-4 * scale)

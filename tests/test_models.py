@@ -326,15 +326,18 @@ def test_space_to_depth_stem_equals_7x7_conv():
         stem = SpaceToDepthStem(16)
         v = stem.init(jax.random.PRNGKey(0), x)
         y = stem.apply(v, x)
+        # the plain stem is ZeroPadding2D((3,3)) + VALID 7x7/2
+        # (keras_applications 1.0.8 alignment; see ResNet.__call__)
         ref = jax.lax.conv_general_dilated(
-            x, v["params"]["kernel"], (2, 2), "SAME",
+            jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0))),
+            v["params"]["kernel"], (2, 2), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=0, atol=2e-5)
     g1 = jax.grad(lambda k: float0_sum(stem.apply({"params": {"kernel": k}}, x)))(
         v["params"]["kernel"])
     g2 = jax.grad(lambda k: float0_sum(jax.lax.conv_general_dilated(
-        x, k, (2, 2), "SAME",
+        jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0))), k, (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))))(v["params"]["kernel"])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-3)
