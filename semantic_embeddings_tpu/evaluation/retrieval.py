@@ -255,9 +255,7 @@ def _device_metric_fn(evaluator, normalize, topk=None, ranker=None):
                 )
             sims = sims.at[
                 jnp.arange(queries.shape[0]), q_index].set(jnp.inf)
-        if ranker is not None:
-            pass
-        elif topk is not None:
+        if topk is not None and ranker is None:
             # Prefix ranking: exact chunked top-k (ops/topk.py) — identical
             # results to lax.top_k incl. ascending-index tie order (matching
             # the stable descending sort below), but ~1.6x faster: XLA:TPU
@@ -268,7 +266,7 @@ def _device_metric_fn(evaluator, normalize, topk=None, ranker=None):
 
             _, idx = exact_topk(sims, topk + 1)
             ranked_cls = db_classes[idx[:, 1:]]
-        else:
+        elif ranker is None:
             payload = jnp.broadcast_to(db_classes[None, :], sims.shape)
             _, ranked = jax.lax.sort_key_val(-sims, payload, dimension=-1)
             ranked_cls = ranked[:, 1:]  # self dropped at rank 0

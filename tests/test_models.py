@@ -334,16 +334,16 @@ def test_space_to_depth_stem_equals_7x7_conv():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=0, atol=2e-5)
-    g1 = jax.grad(lambda k: float0_sum(stem.apply({"params": {"kernel": k}}, x)))(
+    g1 = jax.grad(lambda k: _sq_sum(stem.apply({"params": {"kernel": k}}, x)))(
         v["params"]["kernel"])
-    g2 = jax.grad(lambda k: float0_sum(jax.lax.conv_general_dilated(
+    g2 = jax.grad(lambda k: _sq_sum(jax.lax.conv_general_dilated(
         jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0))), k, (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))))(v["params"]["kernel"])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-3)
 
 
-def float0_sum(y):
+def _sq_sum(y):
     return (y * y).sum()
 
 
