@@ -90,6 +90,15 @@ def add_common_train_arguments(group):
                             "shard (the reference's per-tower BN under "
                             "multi_gpu_model) instead of the default "
                             "global-batch sync BN. See PARITY.md.")
+    group.add_argument("--spatial", type=int, default=1,
+                       help="Spatial partitioning factor: fold the --gpus "
+                            "devices into a (data, spatial) mesh and shard "
+                            "the image HEIGHT axis across the spatial "
+                            "columns (XLA inserts the conv halo exchanges). "
+                            "Scales a single large-image batch across chips "
+                            "- for the 448px fine-tune recipes whose "
+                            "per-chip-optimal batch is small. Must divide "
+                            "--gpus.")
 
 
 def schedule_args_from(args):
@@ -129,12 +138,13 @@ def check_mesh_batch(mesh, *batch_sizes):
     does not divide an 8-chip mesh)."""
     if mesh is None:
         return
-    n = mesh.devices.size
+    # only the DATA axis splits the batch; spatial columns split the image
+    n = dict(mesh.shape).get("data", mesh.devices.size)
     for b in batch_sizes:
         if b and b % n:
             raise SystemExit(
-                f"batch size {b} is not divisible by the {n}-device mesh "
-                f"(--gpus {n}); choose a multiple of {n}."
+                f"batch size {b} is not divisible by the {n}-way data axis "
+                f"of the device mesh; choose a multiple of {n}."
             )
 
 
@@ -154,25 +164,34 @@ def check_label_range(dataset, n_rows, what="embedding"):
         )
 
 
-def resolve_mesh(gpus, bn_per_replica=False):
+def resolve_mesh(gpus, bn_per_replica=False, spatial=1):
     """Maps the reference's --gpus flag onto the data-parallel mesh.  Uses
     all visible devices when they divide evenly; 1 device otherwise.
+
+    ``spatial`` folds the devices into a 2-D (data, spatial) mesh for
+    spatially-partitioned training (see parallel.get_mesh).
 
     ``bn_per_replica`` switches BatchNorm to per-shard statistics (the
     reference's per-tower BN) — must be set before the steps are traced,
     which is why it rides along here."""
     n = max(1, int(gpus))
+    spatial = max(1, int(spatial))
     avail = len(jax.devices())
     if n > avail:
         print(f"Requested {n} devices but only {avail} present; using {avail}.")
         n = avail
+    if n % spatial:
+        raise SystemExit(
+            f"--spatial {spatial} must divide the device count ({n}).")
     if bn_per_replica:
         from ..models.layers import set_default_bn_groups
 
-        set_default_bn_groups(n)
-        if n > 1:
-            print(f"BatchNorm: per-replica statistics over {n} shards")
-    return get_mesh(n) if n > 1 else None
+        # per-tower = per DATA shard; spatial columns jointly compute one
+        # tower's statistics (they hold slices of the same images).
+        set_default_bn_groups(n // spatial)
+        if n // spatial > 1:
+            print(f"BatchNorm: per-replica statistics over {n // spatial} shards")
+    return get_mesh(n, spatial=spatial) if n > 1 else None
 
 
 def build_embedding_model(embed_dim, architecture, loss, cls_classes, dtype=None,

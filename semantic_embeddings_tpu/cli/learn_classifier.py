@@ -102,7 +102,8 @@ def main(argv=None):
     common.apply_pipeline_args(dataset, args)
 
     mesh = common.resolve_mesh(
-        args.gpus, bn_per_replica=getattr(args, "bn_per_replica", False))
+        args.gpus, bn_per_replica=getattr(args, "bn_per_replica", False),
+        spatial=getattr(args, "spatial", 1))
     common.check_mesh_batch(mesh, args.batch_size, args.val_batch_size)
     common.check_label_range(dataset, dataset.num_classes, what="classifier")
     import jax.numpy as jnp

@@ -17,10 +17,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def get_mesh(n_devices=None, devices=None) -> Mesh:
-    """A 1-D data-parallel mesh over (a prefix of) the available devices."""
+def get_mesh(n_devices=None, devices=None, spatial=1) -> Mesh:
+    """A data-parallel mesh over (a prefix of) the available devices.
+
+    ``spatial > 1`` folds the devices into a 2-D ``(data, spatial)`` mesh
+    for spatial partitioning: image batches are sharded along BOTH the
+    batch axis (``data``) and the image-height axis (``spatial``), and XLA
+    GSPMD inserts the halo exchanges every spatially-partitioned
+    convolution/pool needs plus the cross-shard reductions for BatchNorm
+    statistics and global pooling.  This is the TPU-native way to scale a
+    SINGLE large-image batch across chips — the 448 px fine-tune recipes
+    run at their throughput optimum at per-chip batch 24 (SPEED.md), so
+    more chips can only help via batch DP (changes the recipe's global
+    batch) or spatial sharding (doesn't).  No reference counterpart:
+    ``multi_gpu_model`` (learn_image_embeddings.py:133) only splits the
+    batch axis.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -29,12 +44,47 @@ def get_mesh(n_devices=None, devices=None) -> Mesh:
                 f"Requested {n_devices} devices but only {len(devices)} present."
             )
         devices = devices[:n_devices]
+    spatial = max(1, int(spatial))
+    if spatial > 1:
+        if len(devices) % spatial:
+            raise ValueError(
+                f"{len(devices)} devices do not fold into spatial={spatial} "
+                f"columns; device count must be a multiple of spatial."
+            )
+        grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+        return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def spatial_size(mesh) -> int:
+    """Number of spatial shards (1 when the mesh has no spatial axis)."""
+    if mesh is None or SPATIAL_AXIS not in mesh.axis_names:
+        return 1
+    return mesh.shape[SPATIAL_AXIS]
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC image batches: batch axis on ``data``, height on ``spatial``
+    (identical to :func:`batch_sharding` on a 1-D mesh)."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, PartitionSpec(DATA_AXIS, SPATIAL_AXIS))
+    return batch_sharding(mesh)
+
+
+def constrain_spatial(mesh, images):
+    """Inside-jit sharding constraint pinning an NHWC activation batch to
+    ``(data, spatial)``.  The step builders apply it right after
+    ``prepare`` so the conv stack is spatially partitioned even when the
+    raw batch carries only indices (the in-HBM dataset path) and sharding
+    could not propagate from the inputs.  No-op without a spatial mesh."""
+    if mesh is None or SPATIAL_AXIS not in mesh.axis_names:
+        return images
+    return jax.lax.with_sharding_constraint(images, image_sharding(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -138,9 +188,18 @@ def shard_batch(mesh: Mesh, batch, global_batch=None):
 
         return jax.tree_util.tree_map(put_local, batch)
 
+    img = image_sharding(mesh)
+    n_sp = spatial_size(mesh)
+
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data if x.ndim >= 1 else rep)
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        # NHWC image leaves additionally shard H on the spatial axis when it
+        # divides evenly (the in-jit constrain_spatial reshards otherwise).
+        if x.ndim == 4 and n_sp > 1 and x.shape[1] % n_sp == 0:
+            return jax.device_put(x, img)
+        return jax.device_put(x, data)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import replicate, shard_batch
+from ..parallel import constrain_spatial, replicate, shard_batch
 from . import losses as L
 from .optimizer import sgd_update
 from .state import TrainState
@@ -151,6 +151,7 @@ def make_train_step(
 
     def step(state: TrainState, raw_batch, lr, rng):
         images, labels = prepare(raw_batch, rng, True)
+        images = constrain_spatial(mesh, images)
         targets = class_embedding[labels]
         onehot = (
             jax.nn.one_hot(labels, num_classes) if cls_weight > 0 else None
@@ -258,6 +259,7 @@ def make_eval_step(
 
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
+        images = constrain_spatial(mesh, images)
         # Optional validity mask: datasets pad the ragged final batch to keep
         # shapes static; padded rows carry valid=0 and don't affect metrics.
         valid = raw_batch.get("valid")
@@ -332,6 +334,7 @@ def make_classifier_train_step(
 
     def step(state: TrainState, raw_batch, lr, rng):
         images, labels = prepare(raw_batch, rng, True)
+        images = constrain_spatial(mesh, images)
         onehot = L.label_smoothing(
             jax.nn.one_hot(labels, num_classes), label_smoothing
         )
@@ -377,6 +380,7 @@ def make_classifier_eval_step(
 ):
     def step(state: TrainState, raw_batch, rng):
         images, labels = prepare(raw_batch, rng, False)
+        images = constrain_spatial(mesh, images)
         valid = raw_batch.get("valid")
         mask = (
             jnp.ones(images.shape[0], jnp.float32)

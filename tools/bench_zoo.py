@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Model-zoo train-step throughput on the real chip.
+
+Measures steady-state images/sec of the FULL embedding train step (cosine
++ CE aux head, Keras-exact SGD) for every architecture family in the zoo,
+at the reference's recipe resolution for each (``/root/reference/README.md``:
+CIFAR recipes at 32 px batch 256; NASNet-A at 224 px).  Complements
+bench.py's headline (resnet-110-wfc) and rn50 configs with the remaining
+families so every family has a measured number (SPEED.md).
+
+Usage: python tools/bench_zoo.py [arch ...]   (default: the full list)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CONFIGS = {
+    # arch: (batch, image size, measure steps)
+    "wrn-28-10": (256, 32, 20),
+    "pyramidnet-272-200": (128, 32, 10),
+    "pyramidnet-110-270": (256, 32, 10),
+    "densenet-100-12": (256, 32, 20),
+    "densenet-bc-190-40": (64, 32, 10),
+    "resnet-32": (256, 32, 30),
+    "simple": (256, 32, 30),
+    "nasnet-a": (32, 224, 5),
+}
+
+
+def bench_arch(jax, arch, batch, size, steps, windows=2):
+    import jax.numpy as jnp
+
+    from semantic_embeddings_tpu.data import SyntheticDataset
+    from semantic_embeddings_tpu.models import EmbeddingModel, build_network
+    from semantic_embeddings_tpu.train import make_train_step, new_train_state
+
+    embedding = np.eye(100, dtype=np.float32)
+    dataset = SyntheticDataset(num_classes=100, n_train=batch * 2,
+                               n_test=batch, size=size)
+    spec = build_network(100, arch, dtype=jnp.bfloat16)
+    model = EmbeddingModel(backbone=spec.module, output="l2norm",
+                           cls_classes=100, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, size, size, 3)), train=False))(jax.random.PRNGKey(0))
+    state = new_train_state(variables)
+    prepare = dataset.make_prepare(augment_train=False)
+    step = make_train_step(
+        model, prepare, loss_name="inv_corr", class_embedding=embedding,
+        cls_weight=0.1, l2_penalty_fn=spec.l2_penalty, clipnorm=10.0,
+        donate=True)
+    raws = list(dataset.train_batches(batch, 0, 0))
+    rng = jax.random.PRNGKey(0)
+    for i in range(3):
+        state, m = step(state, raws[i % len(raws)], 0.1, rng)
+    jax.block_until_ready(m)
+    best = np.inf
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = step(state, raws[i % len(raws)], 0.1, rng)
+        jax.block_until_ready(m)
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best, best / steps * 1e3
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    archs = sys.argv[1:] or list(CONFIGS)
+    results = {}
+    for arch in archs:
+        batch, size, steps = CONFIGS[arch]
+        t0 = time.time()
+        try:
+            ips, ms = bench_arch(jax, arch, batch, size, steps)
+            results[arch] = {
+                "img_per_sec": round(ips, 1),
+                "ms_per_step": round(ms, 2),
+                "batch": batch, "size": size,
+                "compile_s": round(time.time() - t0 - 0.0, 1),
+            }
+            print(f"{arch}: {ips:,.0f} img/s  ({ms:.1f} ms @ batch {batch}, "
+                  f"{size}px)", flush=True)
+        except Exception as e:
+            results[arch] = {"error": repr(e)[:300]}
+            print(f"{arch}: ERROR {e!r}", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
