@@ -143,7 +143,7 @@ def test_exact_topk_inf_heavy_rows():
 def test_fused_conv3x3_bn_stats_matches_xla():
     """Pallas fused conv+BN-stats (interpret mode) must equal the unfused
     XLA conv -> convert -> reduce chain, incl. bf16 rounding of y."""
-    from semantic_embeddings_tpu.ops.fused_conv_bn import (
+    from tools.fused_conv_bn_prototype import (
         conv3x3_bn_stats,
         conv3x3_bn_stats_reference,
     )

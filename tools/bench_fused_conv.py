@@ -64,7 +64,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
-    from semantic_embeddings_tpu.ops.fused_conv_bn import (
+    from tools.fused_conv_bn_prototype import (
         conv3x3_bn_stats,
         conv3x3_bn_stats_reference,
     )

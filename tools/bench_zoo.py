@@ -12,10 +12,13 @@ Usage: python tools/bench_zoo.py [arch ...]   (default: the full list)
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
     # arch: (batch, image size, measure steps)
