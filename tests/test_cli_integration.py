@@ -197,3 +197,31 @@ def test_plot_clis(cifar_root, embedding_pickle, reference_dir, tmp_path):
         "--out", out_svg,
     ])
     assert os.path.getsize(out_svg) > 1000
+
+
+def test_spatial_cli(cifar_root, embedding_pickle, tmp_path):
+    """--gpus 8 --spatial 4 through the full learner CLI: the (2, 4) mesh
+    trains, validates, and dumps features identical in shape/normalization
+    to the single-device path (numerical equality is pinned in
+    tests/test_spatial.py; this exercises the CLI wiring end to end)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    feat = str(tmp_path / "feat_sp.pickle")
+
+    from semantic_embeddings_tpu.cli.learn_image_embeddings import main as learn
+
+    learn([
+        "--dataset", "cifar-100", "--data_root", cifar_root,
+        "--embedding", embedding_pickle, "--architecture", "simple",
+        "--loss", "inv_corr", "--cls_weight", "0.1",
+        "--lr_schedule", "SGD", "--sgd_schedule", "1:0.02,1",
+        "--batch_size", "100", "--gpus", "8", "--spatial", "4",
+        "--feature_dump", feat, "--no_progress",
+    ])
+    with open(feat, "rb") as f:
+        dump = pickle.load(f)
+    assert len(dump["feat"]) == 200
+    np.testing.assert_allclose(
+        np.linalg.norm(dump["feat"][0]), 1.0, rtol=1e-5)

@@ -32,6 +32,11 @@ CONFIGS = {
     "nasnet-a": (32, 224, 5),
 }
 
+#: non-fc CIFAR ResNets emit the global-pool features directly (64-d), so
+#: the embedding targets must match that width (reference semantics:
+#: utils.build_network 'resnet-32'/'resnet-110' have no projection layer).
+EMBED_DIM = {"resnet-32": 64, "resnet-110": 64}
+
 
 def bench_arch(jax, arch, batch, size, steps, windows=2):
     import jax.numpy as jnp
@@ -40,10 +45,15 @@ def bench_arch(jax, arch, batch, size, steps, windows=2):
     from semantic_embeddings_tpu.models import EmbeddingModel, build_network
     from semantic_embeddings_tpu.train import make_train_step, new_train_state
 
-    embedding = np.eye(100, dtype=np.float32)
+    d = EMBED_DIM.get(arch, 100)
+    if d == 100:
+        embedding = np.eye(100, dtype=np.float32)
+    else:
+        r = np.random.default_rng(0).normal(0, 1, (100, d)).astype(np.float32)
+        embedding = r / np.linalg.norm(r, axis=1, keepdims=True)
     dataset = SyntheticDataset(num_classes=100, n_train=batch * 2,
                                n_test=batch, size=size)
-    spec = build_network(100, arch, dtype=jnp.bfloat16)
+    spec = build_network(d, arch, dtype=jnp.bfloat16)
     model = EmbeddingModel(backbone=spec.module, output="l2norm",
                            cls_classes=100, dtype=jnp.bfloat16)
     variables = jax.jit(lambda k: model.init(
