@@ -1,11 +1,12 @@
 """Subprocess entry for the two-process multi-host test.
 
-Usage: python _multihost_worker.py <coordinator> <num_processes> <pid> <out.npz>
+Usage: python _multihost_worker.py <coordinator> <num_processes> <pid> <out.npz> [spatial]
 
 Each worker owns 4 virtual CPU devices; ``jax.distributed.initialize``
 joins them into one 8-device global mesh, and the SAME ``fit`` recipe as
 the single-process baseline runs SPMD across both processes (gloo-backed
-cross-process collectives).
+cross-process collectives).  ``spatial > 1`` folds the global mesh into
+(data, spatial) — multi-host AND height-sharded at once.
 """
 
 import json
@@ -16,6 +17,7 @@ import sys
 def main():
     coord, n_proc, pid, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    spatial = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -45,7 +47,7 @@ def main():
 
     from semantic_embeddings_tpu.parallel import get_mesh
 
-    params, logged = run_fit(get_mesh())
+    params, logged = run_fit(get_mesh(spatial=spatial))
 
     import numpy as np
 

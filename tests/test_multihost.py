@@ -90,3 +90,62 @@ def test_two_process_fit_matches_single_process(tmp_path):
     a, b = np.load(outs[0]), np.load(outs[1])
     for k in a.files:
         np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_spatial_fit_matches_single_process(tmp_path):
+    """Multi-host AND spatial at once: two processes drive an 8-device
+    (data=4, spatial=2) global mesh — process-local batch assembly composes
+    with the in-step height-sharding constraint."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    outs = [str(tmp_path / f"sp_worker{i}.npz") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "_multihost_worker.py"),
+             coord, "2", str(i), outs[i], "2"],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    sys.path.insert(0, TESTS_DIR)
+    from _multihost_common import run_fit
+
+    base_params, base_logged = run_fit(get_mesh(8, spatial=2))
+    for out in outs:
+        got = np.load(out)
+        assert set(got.files) == set(base_params)
+        for k in base_params:
+            # cross-process reduction-order drift, amplified by the
+            # per-tensor clipnorm over 4 steps (see tests/test_spatial.py)
+            np.testing.assert_allclose(
+                got[k], base_params[k], atol=1e-3, err_msg=k)
+        logged = json.load(open(out + ".metrics.json"))
+        for m_got, m_base in zip(logged, base_logged):
+            for key in m_base:
+                assert m_got[key] == pytest.approx(m_base[key], abs=3e-4), key
+
+    a, b = np.load(outs[0]), np.load(outs[1])
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)

@@ -242,3 +242,38 @@ def test_classifier_step_spatial(setup):
     metrics = ev(state2, shard_batch(mesh, next(iter(dataset.test_batches(16)))),
                  rng)
     assert float(metrics["count"]) == 16.0
+
+
+def test_spatial_bf16_remat_step(setup):
+    """Production flags compose: --bf16 + --remat + --spatial. One step on
+    a (2, 4) mesh with a rematerialized bf16 resnet must run and produce a
+    finite loss close to the single-device bf16 value."""
+    import jax.numpy as jnp
+
+    embedding, dataset, spec, _, _ = setup
+    rspec = build_network(8, "resnet-110-fc", dtype=jnp.bfloat16, remat=True)
+    rspec.module = rspec.module.clone(n=1)
+    model = EmbeddingModel(backbone=rspec.module, output="l2norm",
+                           dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((2, 16, 16, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    prepare = dataset.make_prepare(augment_train=False)
+    kwargs = dict(loss_name="inv_corr", class_embedding=embedding,
+                  l2_penalty_fn=rspec.l2_penalty, clipnorm=10.0)
+    raw = next(iter(dataset.train_batches(16, 0, 0)))
+    rng = jax.random.PRNGKey(5)
+
+    state1 = new_train_state(variables)
+    step1 = make_train_step(model, prepare, **kwargs)
+    _, m1 = step1(state1, raw, 0.1, rng)
+
+    mesh = get_mesh(8, spatial=4)
+    state2 = replicate(mesh, new_train_state(variables))
+    step2 = make_train_step(model, prepare, mesh=mesh, **kwargs)
+    _, m2 = step2(state2, shard_batch(mesh, raw), 0.1, rng)
+
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l2)
+    # bf16 compute reassociated across shards: loose but meaningful bound
+    np.testing.assert_allclose(l1, l2, rtol=1e-2)
