@@ -9,6 +9,8 @@ bench.py's headline (resnet-110-wfc) and rn50 configs with the remaining
 families so every family has a measured number (SPEED.md).
 
 Usage: python tools/bench_zoo.py [arch ...]   (default: the full list)
+       BENCH_BATCH=N overrides the batch size for every listed arch
+       (batch sweeps; the default per-arch batches are the recipe ones).
 """
 
 import json
@@ -87,9 +89,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     archs = sys.argv[1:] or list(CONFIGS)
+    batch_override = os.environ.get("BENCH_BATCH")
     results = {}
     for arch in archs:
         batch, size, steps = CONFIGS[arch]
+        if batch_override:
+            batch = int(batch_override)
         t0 = time.time()
         try:
             ips, ms = bench_arch(jax, arch, batch, size, steps)
