@@ -54,6 +54,10 @@ struct Image {
   int w = 0, h = 0;
 };
 
+// Shared header-to-scanlines body; runs with the caller's setjmp active so
+// libjpeg errors unwind to the caller's cleanup.
+void decode_body(jpeg_decompress_struct* cinfo_ptr, int hint_size, Image* out);
+
 bool decode_jpeg(const char* path, int hint_size, Image* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -69,6 +73,33 @@ bool decode_jpeg(const char* path, int hint_size, Image* out) {
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
+  decode_body(&cinfo, hint_size, out);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// In-memory variant (serving path: request bodies never touch disk).
+bool decode_jpeg_mem(const uint8_t* buf, size_t len, int hint_size,
+                     Image* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  decode_body(&cinfo, hint_size, out);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+void decode_body(jpeg_decompress_struct* cinfo_ptr, int hint_size,
+                 Image* out) {
+  jpeg_decompress_struct& cinfo = *cinfo_ptr;
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
 
@@ -104,9 +135,6 @@ bool decode_jpeg(const char* path, int hint_size, Image* out) {
     }
   }
   jpeg_finish_decompress(&cinfo);
-  jpeg_destroy_decompress(&cinfo);
-  fclose(f);
-  return true;
 }
 
 // Bilinear resize (RGB uint8).
@@ -203,6 +231,55 @@ int sed_decode_batch(const char** paths, int n, const int* target_sizes,
       Image img;
       ok[i] = 0;
       if (!decode_jpeg(paths[i], target_sizes[i], &img)) continue;
+      int target = target_sizes[i];
+      if (target > 0) {
+        int shorter = img.w < img.h ? img.w : img.h;
+        if (shorter != target) {
+          int tw, th;
+          if (img.w < img.h) {
+            tw = target;
+            th = (int)std::lround((double)img.h * target / img.w);
+          } else {
+            th = target;
+            tw = (int)std::lround((double)img.w * target / img.h);
+          }
+          Image resized;
+          resize_bilinear(img, tw, th, &resized);
+          img = std::move(resized);
+        }
+      }
+      Rng rng(seeds[i]);
+      crop_or_pad(img, crop_h, crop_w, random_crop != 0, &rng,
+                  out + (size_t)i * crop_h * crop_w * 3);
+      ok[i] = 1;
+      n_ok.fetch_add(1);
+    }
+  };
+  int threads = n_threads > 0 ? n_threads : 1;
+  if (threads > n) threads = n;
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return n_ok.load();
+}
+
+// In-memory counterpart of sed_decode_batch for the serving runtime:
+// decodes n JPEG byte buffers (bufs[i], lens[i]) with the same
+// resize/crop pipeline.  Same output/ok contract.
+int sed_decode_mem_batch(const uint8_t** bufs, const uint64_t* lens, int n,
+                         const int* target_sizes, const uint64_t* seeds,
+                         int random_crop, int crop_h, int crop_w,
+                         int n_threads, uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0), n_ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Image img;
+      ok[i] = 0;
+      if (!decode_jpeg_mem(bufs[i], (size_t)lens[i], target_sizes[i], &img))
+        continue;
       int target = target_sizes[i];
       if (target > 0) {
         int shorter = img.w < img.h ? img.w : img.h;

@@ -1,0 +1,227 @@
+"""Dynamic micro-batching engine for the serving runtime.
+
+The reference has no serving story beyond ``model.save('.h5')``
+(``/root/reference/learn_image_embeddings.py:257-267``); this is the
+TPU-native production counterpart.  Concurrent requests are coalesced
+into one device call: a dispatcher thread drains the request queue until
+either ``max_batch`` images are pending or ``timeout_ms`` has elapsed
+since the first queued request, pads the pack to the smallest configured
+batch *bucket* (XLA compiles one program per static shape — buckets keep
+the compile set small and every call's shape static), runs the model
+once, and scatters per-request slices back through futures.
+
+Throughput comes from batching (one dispatch + one MXU-efficient batch
+instead of N tiny ones); the padding rows are the price and are bounded
+by the bucket spacing (powers of two by default).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+
+import numpy as np
+
+import jax
+
+
+class _Pending:
+    __slots__ = ("array", "future", "t_enqueue")
+
+    def __init__(self, array, future):
+        self.array = array
+        self.future = future
+        self.t_enqueue = time.perf_counter()
+
+
+class Future:
+    """Minimal thread-safe future (stdlib concurrent.futures carries
+    executor baggage we don't need)."""
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._value = None
+        self._error = None
+
+    def set_result(self, value):
+        self._value = value
+        self._event.set()
+
+    def set_exception(self, err):
+        self._error = err
+        self._event.set()
+
+    def result(self, timeout=None):
+        if not self._event.wait(timeout):
+            raise TimeoutError("request did not complete in time")
+        if self._error is not None:
+            raise self._error
+        return self._value
+
+
+def default_buckets(max_batch):
+    """Powers of two up to and including max_batch."""
+    buckets, b = [], 1
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_batch)
+    return buckets
+
+
+class BatchingEngine:
+    """Coalesces concurrent inference requests into bucketed device calls.
+
+    ``fn``: callable mapping a float32 ``(B, *input_tail)`` array to a
+    pytree of arrays with leading batch dimension ``B``.  It is called
+    only with ``B in buckets``.
+    """
+
+    def __init__(self, fn, input_tail, max_batch=256, timeout_ms=2.0,
+                 buckets=None):
+        self._fn = fn
+        self.input_tail = tuple(input_tail)
+        self.max_batch = int(max_batch)
+        self.timeout_s = float(timeout_ms) / 1e3
+        self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
+        if self.buckets[-1] < self.max_batch:
+            raise ValueError("largest bucket must cover max_batch")
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = None
+        self._lock = threading.Lock()
+        self._stats = dict(requests=0, images=0, batches=0, padded_images=0,
+                           errors=0)
+        self._latencies = collections.deque(maxlen=1024)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="sed-batcher")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=10)
+            self._thread = None
+        # fail whatever is still queued
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            item.future.set_exception(RuntimeError("engine stopped"))
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- request API -------------------------------------------------------
+
+    def submit(self, x):
+        """Enqueue a ``(n, *input_tail)`` float32 array; returns a Future
+        resolving to the pytree of per-request outputs (leading dim n)."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.shape[1:] != self.input_tail:
+            raise ValueError(
+                f"bad input shape {x.shape}; expected (n, "
+                f"{', '.join(map(str, self.input_tail))})")
+        if not (1 <= x.shape[0] <= self.max_batch):
+            raise ValueError(
+                f"request batch {x.shape[0]} outside [1, {self.max_batch}]")
+        fut = Future()
+        self._queue.put(_Pending(x, fut))
+        return fut
+
+    def predict(self, x, timeout=None):
+        """Synchronous submit + wait."""
+        if self._thread is None:
+            raise RuntimeError("engine not started")
+        return self.submit(x).result(timeout)
+
+    def stats(self):
+        with self._lock:
+            out = dict(self._stats)
+            lats = sorted(self._latencies)
+        if lats:
+            out["latency_ms_p50"] = round(1e3 * lats[len(lats) // 2], 3)
+            out["latency_ms_p99"] = round(1e3 * lats[int(len(lats) * 0.99)], 3)
+        out["avg_batch"] = round(out["images"] / max(out["batches"], 1), 2)
+        return out
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _bucket_for(self, n):
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            pack = [first]
+            total = first.array.shape[0]
+            deadline = time.perf_counter() + self.timeout_s
+            while total < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if total + nxt.array.shape[0] > self.max_batch:
+                    # would overflow: run it in the next pack
+                    self._queue.put(nxt)
+                    break
+                pack.append(nxt)
+                total += nxt.array.shape[0]
+            self._run_pack(pack, total)
+
+    def _run_pack(self, pack, total):
+        bucket = self._bucket_for(total)
+        batch = np.zeros((bucket,) + self.input_tail, dtype=np.float32)
+        off = 0
+        for item in pack:
+            n = item.array.shape[0]
+            batch[off:off + n] = item.array
+            off += n
+        try:
+            out = self._fn(batch)
+            # force to host once for the whole pack
+            out = jax.tree_util.tree_map(np.asarray, out)
+        except Exception as e:  # noqa: BLE001 - deliver to all waiters
+            with self._lock:
+                self._stats["errors"] += len(pack)
+            for item in pack:
+                item.future.set_exception(e)
+            return
+        now = time.perf_counter()
+        off = 0
+        for item in pack:
+            n = item.array.shape[0]
+            lo = off
+            item.future.set_result(
+                jax.tree_util.tree_map(lambda a: a[lo:lo + n], out))
+            off += n
+        with self._lock:
+            self._stats["requests"] += len(pack)
+            self._stats["images"] += total
+            self._stats["batches"] += 1
+            self._stats["padded_images"] += bucket - total
+            for item in pack:
+                self._latencies.append(now - item.t_enqueue)

@@ -75,6 +75,21 @@ def test_matches_pil_center_crop(jpeg_dir):
     assert float(diff.mean()) < 12.0, float(diff.mean())
 
 
+def test_mem_batch_matches_file_batch(jpeg_dir):
+    """decode_mem_batch (serving path) == decode_batch on the same bytes."""
+    blobs = [open(p, "rb").read() for p in jpeg_dir]
+    n = len(blobs)
+    sizes, seeds = [48] * n, list(range(1, n + 1))
+    want, ok_f = native.decode_batch(jpeg_dir, sizes, seeds,
+                                     random_crop=True, crop_h=40, crop_w=40)
+    got, ok_m = native.decode_mem_batch(blobs, sizes, seeds,
+                                        random_crop=True, crop_h=40,
+                                        crop_w=40)
+    np.testing.assert_array_equal(ok_f, ok_m)
+    assert not ok_m[5]  # the corrupt buffer fails cleanly, no crash
+    np.testing.assert_array_equal(want[ok_f], got[ok_m])
+
+
 def test_deterministic_random_crops(jpeg_dir):
     a, _ = native.decode_batch(
         jpeg_dir[:4], [48] * 4, [11, 22, 33, 44], random_crop=True,

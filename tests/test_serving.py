@@ -1,0 +1,344 @@
+"""Serving runtime: batching engine, HTTP frontend, serve CLI wiring.
+
+Beyond-parity subsystem (the reference stops at ``model.save('.h5')``,
+``/root/reference/learn_image_embeddings.py:257-267``).
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from semantic_embeddings_tpu.serving import (
+    BatchingEngine, Preprocessor, PreprocessError, ServingServer,
+    default_buckets,
+)
+
+
+# ---------------------------------------------------------------------------
+# engine
+
+
+def test_default_buckets():
+    assert default_buckets(256) == [1, 2, 4, 8, 16, 32, 64, 128, 256]
+    assert default_buckets(6) == [1, 2, 4, 6]
+    assert default_buckets(1) == [1]
+
+
+def make_engine(fn=None, seen=None, **kw):
+    def default_fn(x):
+        if seen is not None:
+            seen.append(x.shape[0])
+        return {"emb": x * 2.0, "sum": x.sum(axis=(1, 2, 3))}
+
+    kw.setdefault("max_batch", 8)
+    kw.setdefault("timeout_ms", 1.0)
+    return BatchingEngine(fn or default_fn, (4, 4, 3), **kw)
+
+
+def test_engine_single_request_roundtrip():
+    seen = []
+    with make_engine(seen=seen) as eng:
+        x = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+        out = eng.predict(x, timeout=10)
+        np.testing.assert_array_equal(out["emb"], x * 2.0)
+        np.testing.assert_allclose(out["sum"], x.sum(axis=(1, 2, 3)))
+    # a 2-image request runs in the 2-bucket: no padding waste
+    assert seen == [2]
+
+
+def test_engine_pads_to_bucket():
+    seen = []
+    with make_engine(seen=seen) as eng:
+        out = eng.predict(np.ones((3, 4, 4, 3), np.float32), timeout=10)
+        assert out["emb"].shape == (3, 4, 4, 3)  # padding rows trimmed
+    assert seen == [4]  # 3 -> next power-of-two bucket
+
+
+def test_engine_coalesces_concurrent_requests():
+    seen = []
+    # Long fill window so every submitted request lands in one pack.
+    eng = make_engine(seen=seen, timeout_ms=300.0)
+    rng = np.random.default_rng(0)
+    reqs = [rng.normal(size=(n, 4, 4, 3)).astype(np.float32)
+            for n in (1, 2, 1, 3)]
+    futures = [eng.submit(r) for r in reqs]
+    eng.start()
+    outs = [f.result(timeout=10) for f in futures]
+    eng.stop()
+    # One device call for all 7 images, padded to the 8-bucket.
+    assert seen == [8]
+    stats = eng.stats()
+    assert stats["batches"] == 1
+    assert stats["images"] == 7
+    assert stats["padded_images"] == 1
+    assert stats["requests"] == 4
+    # and each requester got exactly its own slice back
+    for r, o in zip(reqs, outs):
+        np.testing.assert_array_equal(o["emb"], r * 2.0)
+
+
+def test_engine_respects_max_batch_split():
+    seen = []
+    eng = make_engine(seen=seen, max_batch=4, timeout_ms=300.0)
+    futures = [eng.submit(np.full((3, 4, 4, 3), i, np.float32))
+               for i in range(2)]
+    eng.start()
+    for i, f in enumerate(futures):
+        out = f.result(timeout=10)
+        np.testing.assert_array_equal(out["emb"], np.full((3, 4, 4, 3),
+                                                          2.0 * i))
+    eng.stop()
+    # 3 + 3 > max_batch=4: two packs, each padded 3 -> 4.
+    assert seen == [4, 4]
+
+
+def test_engine_validates_requests():
+    with make_engine() as eng:
+        with pytest.raises(ValueError, match="bad input shape"):
+            eng.submit(np.zeros((1, 5, 4, 3), np.float32))
+        with pytest.raises(ValueError, match="outside"):
+            eng.submit(np.zeros((9, 4, 4, 3), np.float32))
+        with pytest.raises(ValueError, match="outside"):
+            eng.submit(np.zeros((0, 4, 4, 3), np.float32))
+
+
+def test_engine_delivers_model_errors():
+    def boom(x):
+        raise RuntimeError("device on fire")
+
+    with make_engine(fn=boom) as eng:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            eng.predict(np.zeros((1, 4, 4, 3), np.float32), timeout=10)
+        assert eng.stats()["errors"] == 1
+
+
+def test_engine_stop_fails_queued_requests():
+    eng = make_engine()
+    fut = eng.submit(np.zeros((1, 4, 4, 3), np.float32))
+    eng.stop()  # never started: queued item must be failed, not hang
+    with pytest.raises(RuntimeError, match="engine stopped"):
+        fut.result(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# preprocessor
+
+
+def test_preprocessor_normalizes_arrays():
+    prep = Preprocessor(4, mean=[1.0, 2.0, 3.0], std=[2.0, 2.0, 2.0])
+    x = np.ones((4, 4, 3), np.float32) * 5.0
+    got = prep.from_array(x)
+    assert got.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(got[0, 0, 0], [(5 - 1) / 2, (5 - 2) / 2,
+                                              (5 - 3) / 2])
+    np.testing.assert_array_equal(prep.from_array(x, normalized=True)[0], x)
+    with pytest.raises(PreprocessError, match="bad input shape"):
+        prep.from_array(np.zeros((2, 5, 4, 3)))
+
+
+def test_preprocessor_jpeg_matches_file_decoder(tmp_path):
+    from PIL import Image
+
+    from semantic_embeddings_tpu import native
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+    path = str(tmp_path / "img.jpg")
+    Image.fromarray(arr).save(path, quality=95)
+    blob = open(path, "rb").read()
+
+    prep = Preprocessor(32, target_size=40)
+    got = prep.from_jpeg(blob)
+    assert got.shape == (1, 32, 32, 3)
+    if native.loader() is not None:
+        # in-memory decode must equal the file-path decoder bit-for-bit
+        want, ok = native.decode_batch([path], [40], [1], False, 32, 32)
+        assert ok[0]
+        np.testing.assert_array_equal(got[0], want[0].astype(np.float32))
+    with pytest.raises(PreprocessError):
+        prep.from_jpeg(b"not a jpeg at all")
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+
+
+@pytest.fixture()
+def server():
+    eng = BatchingEngine(
+        lambda x: jnp.asarray(x).sum(axis=(1, 2, 3)), (4, 4, 3),
+        max_batch=8, timeout_ms=1.0)
+    prep = Preprocessor(4, mean=[0.0, 0.0, 0.0], std=[1.0, 1.0, 1.0])
+    srv = ServingServer(eng, prep, {"architecture": "test"},
+                        host="127.0.0.1", port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, body, ctype, accept=None, path="/v1/predict"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body, method="POST",
+        headers={"Content-Type": ctype, **({"Accept": accept} if accept
+                                           else {})})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_health_meta_stats(server):
+    assert _get(server, "/healthz") == (200, {"status": "ok"})
+    assert _get(server, "/v1/meta")[1]["architecture"] == "test"
+    code, stats = _get(server, "/v1/stats")
+    assert code == 200 and "requests" in stats
+
+
+def test_http_predict_json(server):
+    x = np.ones((2, 4, 4, 3), np.float32)
+    code, _, body = _post(server, json.dumps(
+        {"instances": x.tolist()}).encode(), "application/json")
+    assert code == 200
+    np.testing.assert_allclose(json.loads(body)["predictions"],
+                               [48.0, 48.0])
+    # single HWC image is auto-batched
+    code, _, body = _post(server, json.dumps(
+        {"instances": x[0].tolist()}).encode(), "application/json")
+    assert code == 200
+    assert json.loads(body)["predictions"] == [48.0]
+
+
+def test_http_predict_npy_roundtrip(server):
+    buf = io.BytesIO()
+    np.save(buf, np.full((3, 4, 4, 3), 2.0, np.float32))
+    code, ctype, body = _post(server, buf.getvalue(), "application/x-npy",
+                              accept="application/x-npy")
+    assert code == 200 and ctype == "application/x-npy"
+    np.testing.assert_allclose(np.load(io.BytesIO(body)), [96.0] * 3)
+
+
+def test_http_predict_jpeg(server):
+    from PIL import Image
+
+    arr = np.full((4, 4, 3), 10, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=100)
+    code, _, body = _post(server, buf.getvalue(), "image/jpeg")
+    assert code == 200
+    (pred,) = json.loads(body)["predictions"]
+    # JPEG is lossy; a flat image survives nearly exactly
+    assert abs(pred - 10.0 * 48) < 0.1 * 48
+
+
+def test_http_errors(server):
+    code, _, body = _post(server, b"{}", "application/json")
+    assert code == 400 and "instances" in json.loads(body)["error"]
+    code, _, body = _post(server, json.dumps(
+        {"instances": [[1.0]]}).encode(), "application/json")
+    assert code == 400
+    code, _, body = _post(server, b"", "application/json",
+                          path="/v1/nothere")
+    assert code == 404
+
+
+def test_http_concurrent_requests_batched():
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return x[..., 0, 0, 0]
+
+    eng = BatchingEngine(fn, (4, 4, 3), max_batch=8, timeout_ms=250.0)
+    prep = Preprocessor(4)
+    srv = ServingServer(eng, prep, {}, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        results = {}
+
+        def worker(i):
+            x = np.full((1, 4, 4, 3), float(i), np.float32)
+            code, _, body = _post(srv, json.dumps(
+                {"instances": x.tolist()}).encode(), "application/json")
+            results[i] = (code, json.loads(body)["predictions"])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(4):
+            assert results[i] == (200, [float(i)])
+        stats = eng.stats()
+        # 4 concurrent 1-image posts share device calls (the 250 ms fill
+        # window guarantees at least two land in one pack even on a slow
+        # host; typically all four do).
+        assert stats["batches"] < 4, stats
+    finally:
+        srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# serve CLI wiring
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.cli.serve_model import build_parser, \
+        make_server
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, spec = common.build_embedding_model(16, "simple", "inv_corr", 4)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 4,
+    })
+
+    args = build_parser().parse_args([
+        "--checkpoint", ckpt, "--layer", "l2norm", "--input_size", "8",
+        "--port", "0", "--max_batch", "4", "--mean", "0,0,0",
+        "--std", "1,1,1",
+    ])
+    srv = make_server(args)
+    srv.start()
+    try:
+        code, meta = _get(srv, "/v1/meta")
+        assert code == 200
+        assert meta["architecture"] == "simple"
+        assert meta["input_size"] == 8
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        code, _, body = _post(srv, json.dumps(
+            {"instances": x.tolist(), "normalized": True}).encode(),
+            "application/json")
+        assert code == 200
+        got = np.asarray(json.loads(body)["predictions"], np.float32)
+        assert got.shape == (2, 16)
+        # served output is the true l2norm tap of the checkpointed model
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, inter = model.apply(variables, jnp.asarray(x), train=False,
+                               mutable=["intermediates"])
+        want = common.resolve_tap(inter.get("intermediates", {}), "l2norm")
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0,
+                                   rtol=1e-4)
+    finally:
+        srv.stop()
