@@ -64,6 +64,14 @@ def build_parser():
     srv.add_argument("--request_timeout_s", type=float, default=60.0)
     srv.add_argument("--decode_threads", type=int, default=4,
                      help="Native JPEG decoder threads per request.")
+    srv.add_argument("--gpus", type=int, default=1,
+                     help="Shard every device batch across this many chips "
+                          "(data-parallel SPMD serving on a mesh; batch "
+                          "buckets become multiples of the chip count).")
+    srv.add_argument("--max_queue", type=int, default=None,
+                     help="Pending-image cap; beyond it requests get HTTP "
+                          "503 + Retry-After instead of queueing unbounded "
+                          "(default: 16 full batches).")
 
     prep = parser.add_argument_group("preprocessing")
     prep.add_argument("--dataset", type=str, default=None,
@@ -176,16 +184,21 @@ def resolve_stats(args):
 
 def make_server(args):
     from ..serving import BatchingEngine, Preprocessor, ServingServer
+    from . import common
 
     fn, meta = build_model_fn(args)
     mean, std = resolve_stats(args)
     meta["mean"], meta["std"] = mean, std
+    mesh = common.resolve_mesh(getattr(args, "gpus", 1))
+    if mesh is not None:
+        meta["devices"] = int(mesh.devices.size)
     preproc = Preprocessor(
         meta["input_size"], args.input_channels, mean=mean, std=std,
         target_size=args.target_size, n_threads=args.decode_threads)
     engine = BatchingEngine(
         fn, (meta["input_size"], meta["input_size"], args.input_channels),
-        max_batch=args.max_batch, timeout_ms=args.batch_timeout_ms)
+        max_batch=args.max_batch, timeout_ms=args.batch_timeout_ms,
+        mesh=mesh, max_queue=args.max_queue)
     return ServingServer(engine, preproc, meta, host=args.host,
                          port=args.port,
                          request_timeout=args.request_timeout_s)

@@ -7,11 +7,12 @@ directly — behind a bucketed dynamic batcher so concurrent requests share
 MXU-efficient device calls.  See ``cli/serve_model.py`` for the CLI.
 """
 
-from .engine import BatchingEngine, Future, default_buckets
+from .engine import BatchingEngine, EngineOverloaded, Future, default_buckets
 from .server import Preprocessor, PreprocessError, ServingServer, make_handler
 
 __all__ = [
     "BatchingEngine",
+    "EngineOverloaded",
     "Future",
     "default_buckets",
     "Preprocessor",

@@ -61,9 +61,18 @@ class Future:
         return self._value
 
 
-def default_buckets(max_batch):
-    """Powers of two up to and including max_batch."""
-    buckets, b = [], 1
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the pending-image queue is full (the HTTP
+    layer maps this to 503 so callers can back off instead of timing out)."""
+
+
+def default_buckets(max_batch, multiple=1):
+    """``multiple`` times powers of two, up to and including max_batch.
+
+    ``multiple`` > 1 is the mesh case: every device call must shard its
+    batch axis evenly over the data-parallel mesh, so the smallest bucket
+    is one image per chip."""
+    buckets, b = [], multiple
     while b < max_batch:
         buckets.append(b)
         b *= 2
@@ -80,14 +89,44 @@ class BatchingEngine:
     """
 
     def __init__(self, fn, input_tail, max_batch=256, timeout_ms=2.0,
-                 buckets=None):
+                 buckets=None, mesh=None, max_queue=None):
+        """``mesh``: a ``jax.sharding.Mesh`` — each device call's batch is
+        sharded across the mesh (data axis; height additionally on the
+        spatial axis if present), so one HTTP frontend drives every chip
+        SPMD.  Buckets become multiples of the shard count.
+
+        ``max_queue``: cap on pending images; beyond it submit() raises
+        :class:`EngineOverloaded` (HTTP 503) instead of queueing unbounded
+        work.  Default: 16 full batches.
+        """
         self._fn = fn
         self.input_tail = tuple(input_tail)
         self.max_batch = int(max_batch)
         self.timeout_s = float(timeout_ms) / 1e3
-        self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
+        self.mesh = mesh
+        self._sharding = None
+        n_shard = 1
+        if mesh is not None:
+            from ..parallel import batch_sharding, image_sharding
+
+            n_shard = int(dict(mesh.shape).get("data", mesh.devices.size))
+            self._sharding = (image_sharding(mesh)
+                              if len(self.input_tail) == 3
+                              else batch_sharding(mesh))
+            if self.max_batch % n_shard:
+                raise ValueError(
+                    f"max_batch {self.max_batch} must be a multiple of the "
+                    f"mesh's {n_shard}-way data axis")
+        self.buckets = (sorted(buckets) if buckets
+                        else default_buckets(max_batch, multiple=n_shard))
         if self.buckets[-1] < self.max_batch:
             raise ValueError("largest bucket must cover max_batch")
+        if mesh is not None and any(b % n_shard for b in self.buckets):
+            raise ValueError(
+                f"every bucket must divide over the {n_shard}-way data axis")
+        self.max_queue = (int(max_queue) if max_queue is not None
+                          else 16 * self.max_batch)
+        self._n_pending = 0
         self._queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = None
@@ -118,6 +157,8 @@ class BatchingEngine:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
+            with self._lock:
+                self._n_pending -= item.array.shape[0]
             item.future.set_exception(RuntimeError("engine stopped"))
 
     def __enter__(self):
@@ -139,6 +180,12 @@ class BatchingEngine:
         if not (1 <= x.shape[0] <= self.max_batch):
             raise ValueError(
                 f"request batch {x.shape[0]} outside [1, {self.max_batch}]")
+        with self._lock:
+            if self._n_pending + x.shape[0] > self.max_queue:
+                raise EngineOverloaded(
+                    f"{self._n_pending} images already pending "
+                    f"(max_queue {self.max_queue}); retry later")
+            self._n_pending += x.shape[0]
         fut = Future()
         self._queue.put(_Pending(x, fut))
         return fut
@@ -200,8 +247,15 @@ class BatchingEngine:
             n = item.array.shape[0]
             batch[off:off + n] = item.array
             off += n
+        with self._lock:
+            self._n_pending -= total
         try:
-            out = self._fn(batch)
+            x = batch
+            if self._sharding is not None:
+                # one host feeds the whole mesh: the jitted forward runs
+                # SPMD with the batch (and image height, if spatial) sharded
+                x = jax.device_put(batch, self._sharding)
+            out = self._fn(x)
             # force to host once for the whole pack
             out = jax.tree_util.tree_map(np.asarray, out)
         except Exception as e:  # noqa: BLE001 - deliver to all waiters

@@ -36,6 +36,8 @@ import numpy as np
 
 import jax
 
+from .engine import EngineOverloaded
+
 
 class PreprocessError(ValueError):
     pass
@@ -158,6 +160,15 @@ def make_handler(engine, preproc, meta, request_timeout=60.0):
 
             try:
                 out = engine.predict(x, timeout=request_timeout)
+            except EngineOverloaded as e:  # queue full: tell caller to back off
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body503 = _json_bytes({"error": str(e)})
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body503)))
+                self.end_headers()
+                self.wfile.write(body503)
+                return
             except ValueError as e:   # e.g. batch > max_batch
                 self._send_json(400, {"error": str(e)})
                 return

@@ -15,8 +15,8 @@ import pytest
 import jax.numpy as jnp
 
 from semantic_embeddings_tpu.serving import (
-    BatchingEngine, Preprocessor, PreprocessError, ServingServer,
-    default_buckets,
+    BatchingEngine, EngineOverloaded, Preprocessor, PreprocessError,
+    ServingServer, default_buckets,
 )
 
 
@@ -124,6 +124,124 @@ def test_engine_stop_fails_queued_requests():
     eng.stop()  # never started: queued item must be failed, not hang
     with pytest.raises(RuntimeError, match="engine stopped"):
         fut.result(timeout=5)
+
+
+def test_engine_backpressure_503_semantics():
+    import time
+
+    release = threading.Event()
+
+    def slow(x):
+        release.wait(10)
+        return {"emb": x * 2.0}
+
+    eng = make_engine(fn=slow, max_batch=4, max_queue=6, timeout_ms=1.0)
+    eng.start()
+    try:
+        futs = [eng.submit(np.ones((2, 4, 4, 3), np.float32))
+                for _ in range(3)]  # 6 pending images = exactly max_queue
+        with pytest.raises(EngineOverloaded, match="retry later"):
+            eng.submit(np.ones((1, 4, 4, 3), np.float32))
+        release.set()
+        for f in futs:
+            assert f.result(timeout=10)["emb"].shape == (2, 4, 4, 3)
+        # drained: capacity is back
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            try:
+                fut = eng.submit(np.ones((4, 4, 4, 3), np.float32))
+                break
+            except EngineOverloaded:
+                time.sleep(0.01)
+        else:
+            pytest.fail("queue never drained")
+        assert fut.result(timeout=10)["emb"].shape == (4, 4, 4, 3)
+    finally:
+        eng.stop()
+
+
+def test_engine_mesh_sharded_equals_single_device():
+    """Mesh mode: one frontend drives all 8 (virtual) chips SPMD and the
+    results equal the unsharded forward."""
+    import jax
+
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    mesh = get_mesh(8)
+
+    @jax.jit
+    def fn(x):
+        return {"emb": x * 2.0, "sum": x.sum(axis=(1, 2, 3))}
+
+    eng = BatchingEngine(fn, (4, 4, 3), max_batch=16, timeout_ms=200.0,
+                         mesh=mesh)
+    # buckets are multiples of the 8-way data axis so every call shards
+    assert eng.buckets == [8, 16]
+    rng = np.random.default_rng(7)
+    reqs = [rng.normal(size=(n, 4, 4, 3)).astype(np.float32)
+            for n in (1, 3, 2)]
+    futs = [eng.submit(r) for r in reqs]
+    eng.start()
+    try:
+        for r, f in zip(reqs, futs):
+            out = f.result(timeout=30)
+            np.testing.assert_array_equal(out["emb"], r * 2.0)
+            np.testing.assert_allclose(out["sum"], r.sum(axis=(1, 2, 3)),
+                                       rtol=1e-6)
+    finally:
+        eng.stop()
+    # 6 images padded into one 8-bucket call
+    assert eng.stats()["batches"] == 1
+
+
+def test_engine_mesh_rejects_bad_max_batch():
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        BatchingEngine(lambda x: x, (4, 4, 3), max_batch=12,
+                       mesh=get_mesh(8))
+
+
+def test_serve_cli_mesh_end_to_end(tmp_path):
+    """--gpus 8: the served forward runs SPMD over the CPU mesh and still
+    matches the single-device model output."""
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.cli.serve_model import build_parser, \
+        make_server
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, spec = common.build_embedding_model(16, "simple", "inv_corr", 4)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 4,
+    })
+    args = build_parser().parse_args([
+        "--checkpoint", ckpt, "--layer", "l2norm", "--input_size", "8",
+        "--port", "0", "--max_batch", "16", "--gpus", "8",
+        "--mean", "0,0,0", "--std", "1,1,1",
+    ])
+    srv = make_server(args)
+    srv.start()
+    try:
+        assert _get(srv, "/v1/meta")[1]["devices"] == 8
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(3, 8, 8, 3)).astype(np.float32)
+        code, _, body = _post(srv, json.dumps(
+            {"instances": x.tolist(), "normalized": True}).encode(),
+            "application/json")
+        assert code == 200
+        got = np.asarray(json.loads(body)["predictions"], np.float32)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, inter = model.apply(variables, jnp.asarray(x), train=False,
+                               mutable=["intermediates"])
+        want = common.resolve_tap(inter.get("intermediates", {}), "l2norm")
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4,
+                                   atol=1e-5)
+    finally:
+        srv.stop()
 
 
 # ---------------------------------------------------------------------------
