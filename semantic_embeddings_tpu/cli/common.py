@@ -379,9 +379,11 @@ def extract_by_tap(model, variables, prepare, batches, layer=None,
     ])
 
 
-def rebuild_model_from_checkpoint(path, architecture=None):
+def rebuild_model_from_checkpoint(path, architecture=None, dtype=None):
     """Loads a model dump and reconstructs the module from its metadata.
 
+    ``dtype``: compute dtype for the rebuilt module (e.g. ``jnp.bfloat16``
+    for MXU-rate inference; params/stats stay f32 as stored).
     Returns ``(model, variables, metadata)``.
     """
     from ..train.state import load_checkpoint_raw
@@ -416,11 +418,12 @@ def rebuild_model_from_checkpoint(path, architecture=None):
             cls_classes = int(np.asarray(params["cls_top"]["kernel"]).shape[-1])
         model, _ = build_embedding_model(
             embed_dim, arch, meta.get("loss", "inv_corr"), cls_classes,
-            cls_base=meta.get("cls_base"),
+            cls_base=meta.get("cls_base"), dtype=dtype,
         )
     else:
         spec = build_network(
-            _classifier_outputs(params), arch, classification=True
+            _classifier_outputs(params), arch, classification=True,
+            dtype=dtype,
         )
         model = spec.module
     return model, variables, meta

@@ -66,12 +66,16 @@ def build_parser():
     parser.add_argument("--validate", action="store_true", default=False,
                         help="Deserialize and compare against the direct "
                              "forward on this host.")
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="Bake bfloat16 compute into the artifact "
+                             "(MXU-rate inference; inputs/outputs stay "
+                             "float32).")
     return parser
 
 
 def export_checkpoint(checkpoint, out, architecture=None, layer=None,
                       input_size=32, input_channels=3, batch=-1,
-                      platforms=("tpu", "cpu"), validate=False):
+                      platforms=("tpu", "cpu"), validate=False, bf16=False):
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -79,7 +83,7 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
     from . import common
 
     model, variables, meta = common.rebuild_model_from_checkpoint(
-        checkpoint, architecture
+        checkpoint, architecture, dtype=jnp.bfloat16 if bf16 else None,
     )
     variables = {k: v for k, v in variables.items()
                  if k in ("params", "batch_stats")}
@@ -111,6 +115,7 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
         "layer": layer,
         "input_shape": [batch, input_size, input_size, input_channels],
         "input_dtype": "float32",
+        "compute_dtype": "bfloat16" if bf16 else "float32",
         "platforms": list(platforms),
         "embed_dim": meta.get("embed_dim"),
         "cls_classes": meta.get("cls_classes"),
@@ -136,7 +141,7 @@ def export_checkpoint(checkpoint, out, architecture=None, layer=None,
         # differently and f32 convs run through bf16 MXU passes by default,
         # so only CPU validation can expect near-bit equality.
         tol = (dict(rtol=1e-5, atol=1e-5)
-               if jax.default_backend() == "cpu"
+               if jax.default_backend() == "cpu" and not bf16
                else dict(rtol=2e-2, atol=1e-3))
         for g, w in zip(jax.tree_util.tree_leaves(got),
                         jax.tree_util.tree_leaves(want)):
@@ -156,7 +161,7 @@ def main(argv=None):
         layer=args.layer, input_size=args.input_size,
         input_channels=args.input_channels, batch=args.batch,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
-        validate=args.validate,
+        validate=args.validate, bf16=args.bf16,
     )
 
 

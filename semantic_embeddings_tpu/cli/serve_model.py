@@ -52,6 +52,11 @@ def build_parser():
                      help="Input image height/width (default: sidecar "
                           "value, else 32).")
     src.add_argument("--input_channels", type=int, default=3)
+    src.add_argument("--bf16", action="store_true", default=False,
+                     help="Run the forward in bfloat16 (MXU-rate "
+                          "inference; checkpoint source only — artifacts "
+                          "bake their dtype at export, see export_model "
+                          "--bf16).")
 
     srv = parser.add_argument_group("server")
     srv.add_argument("--host", type=str, default="127.0.0.1")
@@ -108,6 +113,11 @@ def build_model_fn(args):
     if args.artifact:
         from jax import export as jexport
 
+        if args.bf16:
+            raise SystemExit(
+                "--bf16 applies to --checkpoint serving only; artifacts "
+                "bake their compute dtype at export time "
+                "(export_model.py --bf16).")
         with open(args.artifact, "rb") as f:
             exported = jexport.deserialize(f.read())
         meta = {"artifact": os.path.abspath(args.artifact)}
@@ -120,12 +130,14 @@ def build_model_fn(args):
         fn = jax.jit(lambda x: exported.call(x))
     else:
         model, variables, ckpt_meta = common.rebuild_model_from_checkpoint(
-            args.checkpoint, args.architecture)
+            args.checkpoint, args.architecture,
+            dtype=jnp.bfloat16 if args.bf16 else None)
         variables = {k: v for k, v in variables.items()
                      if k in ("params", "batch_stats")}
         layer = args.layer
         meta = {"checkpoint": os.path.abspath(args.checkpoint),
-                "layer": layer}
+                "layer": layer,
+                "compute_dtype": "bfloat16" if args.bf16 else "float32"}
         meta.update({k: v for k, v in ckpt_meta.items()
                      if isinstance(v, (str, int, float, bool, type(None)))})
         input_size = args.input_size or 32

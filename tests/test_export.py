@@ -71,6 +71,27 @@ def test_export_unknown_tap_raises(model_dump, tmp_path):
                           platforms=("cpu",))
 
 
+def test_export_bf16_compute(model_dump, tmp_path):
+    """--bf16 bakes bfloat16 compute into the artifact: outputs track the
+    f32 forward within bf16 tolerance and the sidecar records the dtype."""
+    from jax import export as jexport
+
+    out = str(tmp_path / "bf16.shlo")
+    export_checkpoint(model_dump, out, input_size=8, batch=2,
+                      platforms=("cpu",), validate=True, bf16=True)
+    assert json.load(open(out + ".json"))["compute_dtype"] == "bfloat16"
+    restored = jexport.deserialize(open(out, "rb").read())
+    model, variables, _ = common.rebuild_model_from_checkpoint(model_dump)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    x = np.random.default_rng(2).normal(size=(2, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(
+        jax.tree_util.tree_leaves(restored.call(x))[0], np.float32)
+    want = np.asarray(jax.tree_util.tree_leaves(
+        model.apply(variables, jnp.asarray(x), train=False))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_export_cli_surface(model_dump, tmp_path):
     out = str(tmp_path / "cli.shlo")
     main(["--checkpoint", model_dump, "--out", out, "--input_size", "8",

@@ -409,6 +409,58 @@ def test_http_concurrent_requests_batched():
         srv.stop()
 
 
+def test_serve_cli_bf16(tmp_path):
+    """--bf16 checkpoint serving: JSON-serializable output tracking f32."""
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.cli.serve_model import build_parser, \
+        make_server
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, spec = common.build_embedding_model(16, "simple", "inv_corr", 4)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 4,
+    })
+    args = build_parser().parse_args([
+        "--checkpoint", ckpt, "--layer", "l2norm", "--input_size", "8",
+        "--port", "0", "--max_batch", "4", "--bf16",
+        "--mean", "0,0,0", "--std", "1,1,1",
+    ])
+    srv = make_server(args)
+    srv.start()
+    try:
+        assert _get(srv, "/v1/meta")[1]["compute_dtype"] == "bfloat16"
+        x = np.random.default_rng(4).normal(size=(2, 8, 8, 3)).astype(
+            np.float32)
+        code, _, body = _post(srv, json.dumps(
+            {"instances": x.tolist(), "normalized": True}).encode(),
+            "application/json")
+        assert code == 200
+        got = np.asarray(json.loads(body)["predictions"], np.float32)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, inter = model.apply(variables, jnp.asarray(x), train=False,
+                               mutable=["intermediates"])
+        from semantic_embeddings_tpu.cli.common import resolve_tap
+        want = np.asarray(resolve_tap(inter.get("intermediates", {}),
+                                      "l2norm"))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+    finally:
+        srv.stop()
+
+
+def test_serve_bf16_rejected_for_artifacts(tmp_path):
+    from semantic_embeddings_tpu.cli.serve_model import build_model_fn, \
+        build_parser
+
+    args = build_parser().parse_args(
+        ["--artifact", str(tmp_path / "x.shlo"), "--bf16"])
+    with pytest.raises(SystemExit, match="bake"):
+        build_model_fn(args)
+
+
 # ---------------------------------------------------------------------------
 # serve CLI wiring
 
