@@ -409,6 +409,50 @@ def test_http_concurrent_requests_batched():
         srv.stop()
 
 
+def test_serve_cli_artifact_mesh(tmp_path):
+    """A StableHLO artifact served with --gpus 8: the exported module is
+    partitioned over the mesh (output stays batch-sharded) and matches."""
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.cli.export_model import export_checkpoint
+    from semantic_embeddings_tpu.cli.serve_model import build_parser, \
+        make_server
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, spec = common.build_embedding_model(16, "simple", "inv_corr", 4)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 4,
+    })
+    art = str(tmp_path / "model.shlo")
+    export_checkpoint(ckpt, art, layer="l2norm", input_size=8, batch=-1,
+                      platforms=("cpu",))
+    args = build_parser().parse_args([
+        "--artifact", art, "--port", "0", "--max_batch", "16",
+        "--gpus", "8", "--mean", "0,0,0", "--std", "1,1,1",
+    ])
+    srv = make_server(args)
+    srv.start()
+    try:
+        x = np.random.default_rng(9).normal(size=(2, 8, 8, 3)).astype(
+            np.float32)
+        code, _, body = _post(srv, json.dumps(
+            {"instances": x.tolist(), "normalized": True}).encode(),
+            "application/json")
+        assert code == 200
+        got = np.asarray(json.loads(body)["predictions"], np.float32)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, inter = model.apply(variables, jnp.asarray(x), train=False,
+                               mutable=["intermediates"])
+        want = np.asarray(common.resolve_tap(
+            inter.get("intermediates", {}), "l2norm"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        srv.stop()
+
+
 def test_serve_cli_bf16(tmp_path):
     """--bf16 checkpoint serving: JSON-serializable output tracking f32."""
     from semantic_embeddings_tpu.cli import common
