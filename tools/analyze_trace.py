@@ -122,6 +122,12 @@ def roofline(xs, top=20, hbm_gbps=819.0):
                   f"ms/step; HBM-roofline floor "
                   f"{t_bound / 1e9 / steps:.2f} ms/step "
                   f"(= {t_meas / max(t_bound, 1):.2f}x above)")
+            if t_bound > t_meas:
+                print("NOTE: summed floor exceeds measured time — XLA "
+                      "aliased/elided some listed operands (common for "
+                      "pad/concat/DUS-heavy graphs), so the AGGREGATE "
+                      "floor is not a valid bound here; per-op rows with "
+                      "real traffic still are.")
             rows = []
             for name, (dur, byt, cnt) in agg.items():
                 bound = byt * cnt / (hbm_gbps * 1e9) * 1e12
