@@ -43,7 +43,11 @@ SURFACES = [
                               "--out"]),
     ("export_model", ["--checkpoint", "--architecture", "--out", "--layer",
                       "--input_size", "--input_channels", "--batch",
-                      "--platforms", "--validate"]),
+                      "--platforms", "--validate", "--bf16"]),
+    ("serve_model", ["--artifact", "--checkpoint", "--layer", "--bf16",
+                     "--host", "--port", "--max_batch", "--batch_timeout_ms",
+                     "--gpus", "--max_queue", "--dataset", "--mean", "--std",
+                     "--target_size"]),
 ]
 
 
