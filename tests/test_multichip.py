@@ -264,3 +264,64 @@ def test_db_sharded_requires_topk_protocol(setup):
         evaluate_retrieval_features(
             feats, labels, h, db_sharded=True, compute_ap=False,
             compute_ahp=4, ks=[1])
+
+
+def test_special_learner_steps_sharded_match_single_device():
+    """Labelembed and center-loss train steps (the special learners whose
+    CLIs accept --gpus) must be numerically equal under the mesh."""
+    import jax.numpy as jnp
+
+    from semantic_embeddings_tpu.models.learners import (
+        CenterLossModel,
+        LabelEmbedModel,
+    )
+    from semantic_embeddings_tpu.train.special import (
+        make_center_loss_train_step,
+        make_labelembed_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    backbone = build_network(16, "simple").module
+    rng = np.random.default_rng(0)
+    labels = np.arange(32) % 4
+    images = rng.normal(0, 0.1, (32, 8, 8, 3)).astype(np.float32)
+    images += labels[:, None, None, None] / 4.0
+    raw = {"image": jnp.asarray(images),
+           "label": jnp.asarray(labels.astype(np.int32))}
+
+    def prepare(r, k, train):
+        return r["image"], r["label"]
+
+    mesh = get_mesh(8)
+    cases = [
+        (LabelEmbedModel(backbone=backbone, num_classes=4),
+         make_labelembed_train_step, {}),
+        (CenterLossModel(backbone=backbone, num_classes=4, embed_dim=16),
+         make_center_loss_train_step, {"num_classes": 4}),
+    ]
+    for model, make_step, kwargs in cases:
+        variables = model.init(jax.random.PRNGKey(0), raw["image"],
+                               raw["label"], train=False)
+        key = jax.random.PRNGKey(2)
+
+        # One step, tight tolerance (the convention of
+        # test_sharded_step_matches_single_device): further steps compound
+        # f32 reduction-order drift through per-tensor clipnorm.
+        state1 = new_train_state(variables)
+        step1 = make_step(model, prepare, **kwargs)
+        state1, m1 = step1(state1, raw, 0.05, key)
+
+        state8 = replicate(mesh, new_train_state(variables))
+        sharded = shard_batch(mesh, raw)
+        step8 = make_step(model, prepare, **kwargs)
+        state8, m8 = step8(state8, sharded, 0.05, key)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5, err_msg=type(model).__name__)
+        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                        jax.tree_util.tree_leaves(state8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5,
+                                       err_msg=type(model).__name__)
