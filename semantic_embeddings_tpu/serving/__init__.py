@@ -7,12 +7,15 @@ directly — behind a bucketed dynamic batcher so concurrent requests share
 MXU-efficient device calls.  See ``cli/serve_model.py`` for the CLI.
 """
 
+from .client import ServingClient, ServingError
 from .engine import BatchingEngine, EngineOverloaded, Future, default_buckets
 from .server import Preprocessor, PreprocessError, ServingServer, make_handler
 
 __all__ = [
     "BatchingEngine",
     "EngineOverloaded",
+    "ServingClient",
+    "ServingError",
     "Future",
     "default_buckets",
     "Preprocessor",

@@ -505,6 +505,33 @@ def test_serve_bf16_rejected_for_artifacts(tmp_path):
         build_model_fn(args)
 
 
+def test_client_roundtrips(server):
+    from semantic_embeddings_tpu.serving import ServingClient, ServingError
+
+    c = ServingClient(f"http://127.0.0.1:{server.port}")
+    assert c.health() == {"status": "ok"}
+    assert c.meta()["architecture"] == "test"
+    x = np.full((2, 4, 4, 3), 2.0, np.float32)
+    # npy path (binary round trip)
+    np.testing.assert_allclose(c.predict(x), [96.0, 96.0])
+    # JSON path incl. the normalized flag
+    np.testing.assert_allclose(c.predict_json(x, normalized=True),
+                               [96.0, 96.0])
+    # JPEG path
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((4, 4, 3), 10, np.uint8)).save(
+        buf, "JPEG", quality=100)
+    (pred,) = c.predict_jpeg(buf.getvalue())
+    assert abs(pred - 480.0) < 48.0
+    # server errors surface with code + message
+    with pytest.raises(ServingError, match="bad input shape") as ei:
+        c.predict(np.zeros((1, 5, 4, 3), np.float32))
+    assert ei.value.code == 400
+    assert "batches" in c.stats()
+
+
 # ---------------------------------------------------------------------------
 # serve CLI wiring
 
