@@ -193,6 +193,13 @@ def make_handler(engine, preproc, meta, request_timeout=60.0):
     return Handler
 
 
+class _Listener(ThreadingHTTPServer):
+    # Python's default listen backlog is 5: a burst of concurrent clients
+    # beyond that gets TCP connection resets before the accept loop runs.
+    # A batching server EXPECTS bursts — that's what it batches.
+    request_queue_size = 128
+
+
 class ServingServer:
     """Owns the HTTP listener + batching engine lifecycle."""
 
@@ -200,7 +207,7 @@ class ServingServer:
                  request_timeout=60.0):
         self.engine = engine
         handler = make_handler(engine, preproc, meta, request_timeout)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd = _Listener((host, port), handler)
         self.httpd.daemon_threads = True
         self._thread = None
 

@@ -505,6 +505,40 @@ def test_serve_bf16_rejected_for_artifacts(tmp_path):
         build_model_fn(args)
 
 
+def test_http_burst_of_32_connections_all_served():
+    """A connect burst beyond Python's default listen backlog (5) must not
+    get TCP resets — the batching server EXPECTS bursts (request_queue_size
+    raised in serving/server.py)."""
+    eng = BatchingEngine(lambda x: x.sum(axis=(1, 2, 3)), (4, 4, 3),
+                         max_batch=32, timeout_ms=50.0)
+    srv = ServingServer(eng, Preprocessor(4), {}, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        results, errors = [], []
+
+        def worker(i):
+            try:
+                x = np.full((1, 4, 4, 3), float(i), np.float32)
+                code, _, body = _post(srv, json.dumps(
+                    {"instances": x.tolist()}).encode(), "application/json")
+                results.append((i, code, json.loads(body)["predictions"]))
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, repr(e)))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:4]
+        assert len(results) == 32
+        for i, code, pred in results:
+            assert code == 200 and pred == [float(i) * 48.0]
+    finally:
+        srv.stop()
+
+
 def test_client_roundtrips(server):
     from semantic_embeddings_tpu.serving import ServingClient, ServingError
 
