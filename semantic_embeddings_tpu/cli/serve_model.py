@@ -217,6 +217,9 @@ def make_server(args):
 
 
 def main(argv=None):
+    import signal
+    import threading
+
     from . import common
 
     args = build_parser().parse_args(argv)
@@ -225,10 +228,18 @@ def main(argv=None):
     print(f"serving on http://{args.host}:{server.port}  "
           f"(max_batch {args.max_batch}, "
           f"timeout {args.batch_timeout_ms} ms)", flush=True)
+    # Graceful SIGTERM (the signal orchestrators send): stop accepting,
+    # drain in-flight requests, then exit 0.  shutdown() must come from
+    # another thread than serve_forever's.
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=server.httpd.shutdown,
+                                    daemon=True).start())
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.stop()
+    print("serving stopped", flush=True)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ Beyond-parity subsystem (the reference stops at ``model.save('.h5')``,
 
 import io
 import json
+import os
 import threading
 import urllib.request
 
@@ -564,6 +565,63 @@ def test_client_roundtrips(server):
         c.predict(np.zeros((1, 5, 4, 3), np.float32))
     assert ei.value.code == 400
     assert "batches" in c.stats()
+
+
+@pytest.mark.slow
+def test_serve_cli_sigterm_graceful(tmp_path):
+    """SIGTERM (what orchestrators send) stops the server cleanly: the
+    process drains and exits 0 after printing the stop line."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+    import urllib.request
+
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, _ = common.build_embedding_model(16, "simple", "inv_corr", 4)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 4,
+    })
+    port = 8917
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from semantic_embeddings_tpu.cli.serve_model import main\n"
+        "main(['--checkpoint', %r, '--layer', 'l2norm', '--input_size',"
+        " '8', '--port', '%d', '--mean', '0,0,0', '--std', '1,1,1'])\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         ckpt, port)
+    log = open(str(tmp_path / "serve.log"), "wb")
+    proc = subprocess.Popen([_sys.executable, "-c", code], stdout=log,
+                            stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    if r.status == 200:
+                        break
+            except Exception:  # noqa: BLE001 - not up yet
+                time.sleep(0.2)
+        else:
+            pytest.fail("server never came up")
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+        log.close()
+    out = open(str(tmp_path / "serve.log"), "rb").read().decode(
+        errors="replace")
+    assert "serving stopped" in out, out[-2000:]
 
 
 # ---------------------------------------------------------------------------
