@@ -195,6 +195,29 @@ def test_engine_mesh_sharded_equals_single_device():
     assert eng.stats()["batches"] == 1
 
 
+def test_engine_spatial_mesh_sharded_equals_single_device():
+    """A (data, spatial) mesh: batches shard on batch AND image height."""
+    import jax
+
+    from semantic_embeddings_tpu.parallel import get_mesh
+
+    mesh = get_mesh(8, spatial=2)
+
+    @jax.jit
+    def fn(x):
+        return {"sum": x.sum(axis=(1, 2, 3)), "emb": x * 3.0}
+
+    eng = BatchingEngine(fn, (4, 4, 3), max_batch=8, timeout_ms=200.0,
+                         mesh=mesh)
+    assert eng.buckets == [4, 8]  # data axis is 4-way
+    rng = np.random.default_rng(11)
+    r = rng.normal(size=(3, 4, 4, 3)).astype(np.float32)
+    with eng:
+        out = eng.predict(r, timeout=30)
+    np.testing.assert_array_equal(out["emb"], r * 3.0)
+    np.testing.assert_allclose(out["sum"], r.sum(axis=(1, 2, 3)), rtol=1e-6)
+
+
 def test_engine_mesh_rejects_bad_max_batch():
     from semantic_embeddings_tpu.parallel import get_mesh
 
