@@ -199,6 +199,8 @@ class BatchingEngine:
     def stats(self):
         with self._lock:
             out = dict(self._stats)
+            out["pending_images"] = self._n_pending
+            out["max_queue"] = self.max_queue
             lats = sorted(self._latencies)
         if lats:
             out["latency_ms_p50"] = round(1e3 * lats[len(lats) // 2], 3)
