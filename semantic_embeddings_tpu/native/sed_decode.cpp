@@ -51,6 +51,12 @@ struct Rng {
 
 struct Image {
   std::vector<uint8_t> data;  // RGB interleaved
+  // Scanline scratch for non-RGB expansion.  Lives HERE (caller-owned,
+  // outside the setjmp region) rather than as a decode_body local: libjpeg's
+  // error_exit longjmps out of decode_body, which would skip a local
+  // vector's destructor and leak its allocation on every corrupt image —
+  // the serving path decodes untrusted request bodies.
+  std::vector<uint8_t> scratch;
   int w = 0, h = 0;
 };
 
@@ -119,7 +125,8 @@ void decode_body(jpeg_decompress_struct* cinfo_ptr, int hint_size,
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
   out->data.resize((size_t)out->w * out->h * 3);
-  std::vector<uint8_t> row((size_t)out->w * cinfo.output_components);
+  std::vector<uint8_t>& row = out->scratch;
+  row.resize((size_t)out->w * cinfo.output_components);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* dst = out->data.data() + (size_t)cinfo.output_scanline * out->w * 3;
     if (cinfo.output_components == 3) {

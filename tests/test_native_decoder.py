@@ -90,6 +90,22 @@ def test_mem_batch_matches_file_batch(jpeg_dir):
     np.testing.assert_array_equal(want[ok_f], got[ok_m])
 
 
+def test_truncated_and_corrupt_jpegs_never_crash(jpeg_dir, tmp_path):
+    """Untrusted-bytes robustness for the serving path: mid-stream
+    truncation decodes LENIENTLY (libjpeg's standard recovery pads the
+    missing scanlines — full-shape output, ok=1), header corruption fails
+    with ok=0, and neither crashes or corrupts state across many repeats
+    (the scanline scratch must not leak under error longjmps)."""
+    blob = open(jpeg_dir[3], "rb").read()   # 200x150 image
+    trunc = blob[: int(len(blob) * 0.5)]
+    garbage = blob[:2] + b"\xff\x00" * 40   # valid SOI, broken markers
+    for _ in range(50):
+        out, ok = native.decode_mem_batch(
+            [trunc, garbage], [64, 64], [1, 2], False, 56, 56)
+        assert ok[0] and not ok[1]
+        assert out[0].shape == (56, 56, 3)
+
+
 def test_deterministic_random_crops(jpeg_dir):
     a, _ = native.decode_batch(
         jpeg_dir[:4], [48] * 4, [11, 22, 33, 44], random_crop=True,
