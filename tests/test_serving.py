@@ -651,6 +651,35 @@ def test_serve_cli_sigterm_graceful(tmp_path):
 # serve CLI wiring
 
 
+def test_serve_cli_resolve_stats():
+    from semantic_embeddings_tpu import data as data_mod
+    from semantic_embeddings_tpu.cli.serve_model import (
+        PUBLISHED_STATS,
+        build_parser,
+        resolve_stats,
+    )
+
+    def stats(args_list):
+        return resolve_stats(build_parser().parse_args(args_list))
+
+    # explicit CSV wins over everything
+    mean, std = stats(["--mean", "1,2,3", "--std", "4,5,6",
+                       "--dataset", "cifar-100"])
+    assert mean == [1.0, 2.0, 3.0] and std == [4.0, 5.0, 6.0]
+    # published channel stats by dataset name
+    assert stats(["--dataset", "cifar-100"]) == PUBLISHED_STATS["cifar-100"]
+    assert stats(["--dataset", "ilsvrc"]) == (
+        data_mod.IMAGENET_MEAN, data_mod.IMAGENET_STD)
+    assert stats(["--dataset", "nab-caffe"]) == (
+        data_mod.CAFFE_MEAN, data_mod.CAFFE_STD)
+    assert stats(["--dataset", "cub"]) == data_mod.CUB_STATS
+    # unknown dataset without data_root: explicit error, not silence
+    with pytest.raises(SystemExit, match="no published stats"):
+        stats(["--dataset", "mit67"])
+    # no flags: no normalization
+    assert stats([]) == (None, None)
+
+
 def test_serve_cli_end_to_end(tmp_path):
     from semantic_embeddings_tpu.cli import common
     from semantic_embeddings_tpu.cli.serve_model import build_parser, \
