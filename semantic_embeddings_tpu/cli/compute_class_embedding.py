@@ -7,8 +7,10 @@ Flag-compatible with ``/root/reference/compute_class_embedding.py:176-250``:
         [--method unitsphere|approx_sim|spheres|mds] [--num_dim D] [--norm]
 
 The similarity matrix is assembled with the vectorized grouped-GEMM path and
-the unit-sphere placement is one Cholesky factorization (optionally on the
-TPU via ``--device``) instead of n sequential triangular solves.
+the unit-sphere placement is one Cholesky factorization instead of n
+sequential triangular solves; ``--device`` runs the heavy linear algebra
+(unitsphere's Cholesky, approx_sim's symmetric eigendecomposition) on the
+default JAX device in float64.
 """
 
 from __future__ import annotations
@@ -123,7 +125,9 @@ def main(argv=None):
     elif args.method == "unitsphere":
         embedding = unitsphere_embedding(1.0 - sem_class_dist, device=args.device)
     elif args.method == "approx_sim":
-        embedding = sim_approx(1.0 - sem_class_dist, args.num_dim)
+        embedding = sim_approx(
+            1.0 - sem_class_dist, args.num_dim, device=args.device
+        )
     else:
         raise ValueError(f"Unknown method: {args.method}")
     elapsed = time.time() - start

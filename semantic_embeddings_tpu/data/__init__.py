@@ -3,7 +3,8 @@
 ``get_data_generator`` mirrors ``/root/reference/datasets/__init__.py:21-166``
 including suffix parsing (``-ilsvrcmean``, ``-caffe``, ``-large``,
 ``cifar-100-a/b(-consec)``, ``inat_<supercategory>``, ``cub-subX``) plus a
-``synthetic[-N]`` entry for data-free benchmarking and tests.
+``synthetic[-N[-n_train[-n_test]]]`` entry for data-free benchmarking and
+tests.
 """
 
 from __future__ import annotations
@@ -61,10 +62,19 @@ def get_data_generator(dataset, data_root=None, classes=None, **extra):
         dataset = dataset[:-6]
 
     if dataset.startswith("synthetic"):
-        # synthetic[-<num_classes>]: in-memory random data, CIFAR-shaped.
-        # ``classes`` (the embedding's label order) takes precedence so the
-        # label->embedding-row alignment matches every real dataset path.
-        n = int(dataset.split("-")[1]) if "-" in dataset else 100
+        # synthetic[-<num_classes>[-<n_train>[-<n_test>]]]: in-memory random
+        # data, CIFAR-shaped.  The optional size fields let benchmark runs use
+        # recipe-scale epochs (e.g. ``synthetic-100-50000-10000`` reproduces
+        # CIFAR-100's 50k/10k split so ``--epochs`` means what the published
+        # recipes mean).  ``classes`` (the embedding's label order) takes
+        # precedence so the label->embedding-row alignment matches every real
+        # dataset path.
+        parts = dataset.split("-")
+        n = int(parts[1]) if len(parts) > 1 else 100
+        if len(parts) > 2:
+            kwargs.setdefault("n_train", int(parts[2]))
+        if len(parts) > 3:
+            kwargs.setdefault("n_test", int(parts[3]))
         return SyntheticDataset(num_classes=n, classes=classes, **kwargs)
 
     if dataset == "cifar-10":

@@ -68,12 +68,17 @@ def unitsphere_embedding(class_sim, device=False):
         ) from err
 
 
-def sim_approx(class_sim, num_dim=None):
+def sim_approx(class_sim, num_dim=None, device=False):
     """Low-dimensional embedding approximating dot-product similarities.
 
     Eigendecomposition path of ``compute_class_embedding.py:44-71``: factor
     ``S = Q diag(L) Q^T``, embed as ``Q * sqrt(L)``, keep the ``num_dim``
     leading eigenvector columns.
+
+    ``device=True`` runs the symmetric eigendecomposition on the default JAX
+    device in float64 (same convention as :func:`unitsphere_embedding`;
+    ``jnp.linalg.eigh`` also sorts eigenvalues ascending, so the column
+    selection below is backend-independent).
     """
     class_sim = np.asarray(class_sim, dtype=np.float64)
     if class_sim.ndim != 2 or class_sim.shape[0] != class_sim.shape[1]:
@@ -84,7 +89,16 @@ def sim_approx(class_sim, num_dim=None):
     if class_sim.shape[0] == 0:
         raise ValueError("Empty class_sim given.")
 
-    eigval, eigvec = np.linalg.eigh(class_sim)
+    if device:
+        import jax
+
+        with jax.enable_x64(True):
+            eigval, eigvec = jax.numpy.linalg.eigh(
+                jax.numpy.asarray(class_sim)
+            )
+        eigval, eigvec = np.asarray(eigval), np.asarray(eigvec)
+    else:
+        eigval, eigvec = np.linalg.eigh(class_sim)
     if np.any(eigval < 0):
         raise RuntimeError("Given class_sim is not positive semi-definite.")
     emb = eigvec * np.sqrt(eigval)[None, :]

@@ -225,6 +225,10 @@ def test_get_data_generator_suffixes(nab_dir):
         get_data_generator("cub-sub10", nab_dir)  # split file doesn't exist
     ds = get_data_generator("synthetic-10")
     assert ds.num_classes == 10
+    # synthetic-<classes>-<n_train>[-<n_test>]: recipe-scale epoch lengths
+    ds = get_data_generator("synthetic-10-300-40")
+    assert ds.num_classes == 10
+    assert ds.num_train == 300 and ds.num_test == 40
     with pytest.raises(ValueError):
         get_data_generator("no-such-dataset", "/tmp")
 

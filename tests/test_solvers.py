@@ -132,6 +132,31 @@ def test_sim_approx_rejects_non_psd():
         sim_approx(np.array([[1.0, 2.0], [2.0, 1.0]]))
 
 
+def test_sim_approx_device_matches_golden_bound(reference_dir):
+    """Device-path eigh (x64 jnp.linalg.eigh) meets the same nab.sim128
+    approximation-error bound as the host LAPACK path (SURVEY §2.4 item 4:
+    device-side linear algebra for both exact-method solvers)."""
+    gold_path = os.path.join(reference_dir, "embeddings", "nab.sim128.pickle")
+    with open(gold_path, "rb") as f:
+        gold = pickle.load(f)
+    labels = gold["ind2label"]
+    h = ClassHierarchy.from_file(
+        os.path.join(reference_dir, "NAB-Hierarchy", "hierarchy.txt"),
+        is_a_relations=True,
+        id_type=int,
+    )
+    sim = 1.0 - semantic_distance_matrix(h, labels)
+    emb = sim_approx(sim, 128, device=True)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    ge = gold["embedding"]
+    ours = np.abs(emb @ emb.T - sim).mean()
+    golden = np.abs(ge @ ge.T - sim).mean()
+    assert ours <= golden + 1e-3
+    # full-rank device path reconstructs the similarity matrix exactly
+    full = sim_approx(sim, device=True)
+    assert np.abs(full @ full.T - sim).max() < 1e-8
+
+
 def test_euclidean_embedding_properties(rng):
     sim = _random_tree_similarity(rng, n=20)
     dist = 1.0 - sim
