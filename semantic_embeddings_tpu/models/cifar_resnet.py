@@ -24,6 +24,7 @@ from .layers import (
     dense,
     global_avg_pool,
     global_max_pool,
+    upcast32,
 )
 
 
@@ -131,7 +132,7 @@ class SmallResNet(nn.Module):
         if self.include_top:
             x = dense(self.classes, name="top", dtype=self.dtype)(x)
             if self.top_activation == "softmax":
-                x = nn.softmax(x.astype(jnp.float32))
+                x = nn.softmax(upcast32(x))
                 self.sow("intermediates", "prob", x)
             else:
                 self.sow("intermediates", "embedding", x)

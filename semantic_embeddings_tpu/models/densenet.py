@@ -20,7 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, avg_pool, conv, dense, global_avg_pool, max_pool
+from .layers import (KerasBatchNorm, avg_pool, conv, dense, global_avg_pool,
+                     max_pool, upcast32)
 
 
 def _bn(dtype, name):
@@ -113,7 +114,7 @@ class DenseNetFCN(nn.Module):
         x = conv(self.classes, 1, name="head", kernel_init="he_normal",
                  use_bias=True, dtype=self.dtype)(x)
         if self.top_activation == "softmax":
-            x = nn.softmax(x.astype(jnp.float32))
+            x = nn.softmax(upcast32(x))
         return x
 
 
@@ -178,7 +179,7 @@ class DenseNet(nn.Module):
         if self.include_top:
             x = dense(self.classes, name="top", dtype=self.dtype)(x)
             if self.top_activation == "softmax":
-                x = nn.softmax(x.astype(jnp.float32))
+                x = nn.softmax(upcast32(x))
                 self.sow("intermediates", "prob", x)
             else:
                 self.sow("intermediates", "embedding", x)

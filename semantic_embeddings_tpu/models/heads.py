@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.cosine_loss import l2_normalize as l2norm  # noqa: F401 - canonical
-from .layers import KerasBatchNorm, dense
+from .layers import KerasBatchNorm, dense, upcast32
 
 
 class EmbeddingModel(nn.Module):
@@ -81,10 +81,10 @@ class EmbeddingModel(nn.Module):
         else:
             emb = self.backbone(x, train=train)
         if self.output == "l2norm":
-            emb = l2norm(emb.astype(jnp.float32))
+            emb = l2norm(upcast32(emb))
             self.sow("intermediates", "l2norm", emb)
         elif self.output == "softmax":
-            emb = nn.softmax(emb.astype(jnp.float32))
+            emb = nn.softmax(upcast32(emb))
             self.sow("intermediates", "softmax", emb)
 
         if self.cls_classes > 0:
@@ -100,13 +100,13 @@ class EmbeddingModel(nn.Module):
                     )
                 head_in = tapped
             elif self.cls_input == "l2norm":
-                head_in = l2norm(emb.astype(jnp.float32))
+                head_in = l2norm(upcast32(emb))
             else:
                 head_in = emb
             y = nn.relu(head_in)
             y = KerasBatchNorm(dtype=self.dtype, name="cls_bn")(y, train)
             y = dense(self.cls_classes, name="cls_top", dtype=self.dtype)(y)
-            prob = nn.softmax(y.astype(jnp.float32))
+            prob = nn.softmax(upcast32(y))
             self.sow("intermediates", "prob", prob)
             return emb, prob
         return emb

@@ -32,6 +32,19 @@ ACTIVATIONS = {
 }
 
 
+def upcast32(x):
+    """Upcast-only stability cast: bf16/f16 -> f32, f32 -> f32, f64 -> f64.
+
+    Used where mixed-precision models need at-least-f32 math (BN statistics,
+    l2norm, softmax).  A hard ``astype(float32)`` would *truncate* float64
+    under ``jax.enable_x64`` — which the Keras-runtime trajectory oracle
+    (tests/test_train_trajectory_oracle.py) runs in — injecting ~1e-8
+    noise per step; promotion keeps TPU behavior identical (everything is
+    <= f32 there) while staying exact in x64 parity tests.
+    """
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def keras_uniform(key, shape, dtype=jnp.float32):
     """Keras 'uniform' initializer: RandomUniform(-0.05, 0.05)."""
     import jax
@@ -122,7 +135,7 @@ class _GroupedBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
         out_dtype = self.dtype or x.dtype
-        xf = x.astype(jnp.float32)
+        xf = upcast32(x)
         if not train:
             inv = scale / jnp.sqrt(ra_var.value + self.epsilon)
             return ((xf - ra_mean.value) * inv + bias).astype(out_dtype)

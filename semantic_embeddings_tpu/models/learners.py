@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, dense
+from .layers import KerasBatchNorm, dense, upcast32
 
 
 def _identity_init(key, shape, dtype=jnp.float32):
@@ -65,7 +65,7 @@ class CenterLossModel(nn.Module):
         y = nn.relu(embedding)
         y = KerasBatchNorm(dtype=self.dtype, name="embedding_bn")(y, train)
         y = dense(self.num_classes, name="prob_head", dtype=self.dtype)(y)
-        prob = nn.softmax(y.astype(jnp.float32))
+        prob = nn.softmax(upcast32(y))
 
         if self.fixed_centroids is not None:
             fixed = jnp.asarray(self.fixed_centroids, dtype=jnp.float32)

@@ -16,7 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, avg_pool, dense, global_avg_pool, max_pool
+from .layers import KerasBatchNorm, avg_pool, dense, global_avg_pool, max_pool, upcast32
 
 
 def _bn(dtype, name):
@@ -218,7 +218,7 @@ class NASNetA(nn.Module):
         if self.include_top:
             x = dense(self.classes, name="top", dtype=self.dtype)(x)
             if self.top_activation == "softmax":
-                x = nn.softmax(x.astype(jnp.float32))
+                x = nn.softmax(upcast32(x))
                 self.sow("intermediates", "prob", x)
             else:
                 self.sow("intermediates", "embedding", x)

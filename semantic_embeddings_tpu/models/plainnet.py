@@ -21,6 +21,7 @@ from .layers import (
     dense,
     global_avg_pool,
     max_pool,
+    upcast32,
 )
 
 DEFAULT_FILTERS = (64, 64, "ap", 128, 128, 128, "ap", 256, 256, 256, "ap", 512, "gap", "fc512")
@@ -60,7 +61,7 @@ class PlainNet(nn.Module):
             x = x.reshape((x.shape[0], -1))
         x = dense(self.output_dim, name="top", dtype=self.dtype)(x)
         if self.final_activation == "softmax":
-            x = nn.softmax(x.astype(jnp.float32))
+            x = nn.softmax(upcast32(x))
             self.sow("intermediates", "prob", x)
         else:
             self.sow("intermediates", "embedding", x)

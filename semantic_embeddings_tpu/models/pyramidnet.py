@@ -20,6 +20,7 @@ from .layers import (
     conv,
     dense,
     global_avg_pool,
+    upcast32,
 )
 
 
@@ -109,7 +110,7 @@ class PyramidNet(nn.Module):
         if self.include_top:
             x = dense(self.classes, name="top", dtype=self.dtype)(x)
             if self.top_activation == "softmax":
-                x = nn.softmax(x.astype(jnp.float32))
+                x = nn.softmax(upcast32(x))
                 self.sow("intermediates", "prob", x)
             else:
                 self.sow("intermediates", "embedding", x)

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, conv, dense, global_avg_pool, max_pool
+from .layers import KerasBatchNorm, conv, dense, global_avg_pool, max_pool, upcast32
 
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
@@ -262,7 +262,7 @@ class ResNet(nn.Module):
         if self.include_top:
             x = dense(self.classes, name="top", dtype=self.dtype)(x)
             if self.top_activation == "softmax":
-                x = nn.softmax(x.astype(jnp.float32))
+                x = nn.softmax(upcast32(x))
                 self.sow("intermediates", "prob", x)
             else:
                 self.sow("intermediates", "embedding", x)

@@ -13,7 +13,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import KerasBatchNorm, conv, dense, global_avg_pool, keras_uniform
+from .layers import KerasBatchNorm, conv, dense, global_avg_pool, keras_uniform, upcast32
 
 
 def _bn(dtype, name):
@@ -70,7 +70,7 @@ class WideResNet(nn.Module):
         self.sow("intermediates", "avg_pool", x)
         x = dense(self.classes, name="top", dtype=self.dtype)(x)
         if self.final_activation == "softmax":
-            x = nn.softmax(x.astype(jnp.float32))
+            x = nn.softmax(upcast32(x))
             self.sow("intermediates", "prob", x)
         else:
             self.sow("intermediates", "embedding", x)

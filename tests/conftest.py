@@ -8,6 +8,10 @@ TPU hardware (see SURVEY.md §4 point 3).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The Keras-oracle tests compare tf_keras numerics against ours; oneDNN's
+# blocked conv algorithms add ~1e-4-scale drift that compounds across train
+# steps (test_train_trajectory_oracle).  Must be set before TF is imported.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

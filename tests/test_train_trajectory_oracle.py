@@ -1,0 +1,314 @@
+"""Training-trajectory parity against the reference's own compiled runtime.
+
+The accuracy-parity chain (PARITY.md) proves each link separately: forward
+parity (test_keras_import_oracle), optimizer formulas (test_train_core),
+schedule traces (test_train_core), loss math (test_losses).  This module
+executes the whole chain at once, the way the reference actually runs it
+(``/root/reference/learn_image_embeddings.py:224-243`` + ``utils.py:44-46``):
+
+1. build the reference's OWN model under tf_keras (l2norm Lambda head, and
+   the ReLU+BN+Dense('prob') classification branch for ``cls_weight > 0``,
+   ``learn_image_embeddings.py:16-45,127-132``),
+2. ``compile(optimizers.legacy.SGD(lr, momentum=0.9, decay, clipnorm=10),
+   loss=utils.inv_correlation)`` — tf_keras's legacy optimizer implements
+   the Keras-2 formulas exactly (0-based inverse-time decay, per-tensor
+   clipnorm, ``v = m*v - lr*g; w += v``),
+3. run a free-running multi-step ``train_on_batch`` trajectory on fixed
+   synthetic batches, recording every per-step loss and the final weights,
+4. import the SAME initial weights through ``cli/import_keras_weights`` and
+   replay the SAME batches through our jitted ``make_train_step`` with the
+   same hyperparameters,
+5. assert the full loss trajectory and the final parameter AND batch-stat
+   trees match to ~1e-7 relative.
+
+Why float64 on both sides (``tf_keras.backend.set_floatx('float64')`` +
+``jax.enable_x64``): from identical float32 weights, TF-CPU and XLA-CPU
+compute convs with different summation orders (~1e-7 relative), and at
+training learning rates a ReLU network amplifies that noise chaotically —
+measured ~2-3x per step (1e-6 -> 1e-2 relative loss drift over 12 steps,
+direction flipping run to run), dominated by discrete gradient jumps when
+an activation sits within float noise of a ReLU boundary.  In float64 the
+per-step gradients agree to ~2e-13 (measured per-tensor against a
+GradientTape on the identical imported init) and 12 steps of chaotic
+amplification leave ~4e-8 measured residual — so the assertions run at
+1e-6 with ~25x margin while any SEMANTIC difference (wrong decay
+convention, momentum formula, clipnorm scope, L2 coefficient, BN
+momentum/epsilon, loss clipping) still shows up at 1e-3+.  The semantics
+under test are dtype-independent.
+
+Conv-bias folding: for bias-free-conv families our importer folds Keras
+conv biases into the next BN's moving mean (exactly equivalent: a conv
+bias directly followed by BN receives zero gradient in train mode and
+shifts the batch mean one-for-one, so ``fold(train(W)) == train(fold(W))``).
+The final batch-stat assertions execute that commutation argument — from a
+deliberately NONZERO random conv-bias init (``_randomize_weights``).
+
+The reference implementation is imported as an oracle only (sanctioned in
+CLAUDE.md); nothing from it ships at runtime.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+tf_keras = pytest.importorskip("tf_keras")
+
+from test_keras_import_oracle import (  # noqa: E402
+    _flatten,
+    _merge_full,
+    _randomize_weights,
+    ref_utils,  # noqa: F401  (fixture re-export)
+)
+
+LR = 0.05
+DECAY = 0.3  # large per-iteration decay so a convention mismatch is loud
+CLIPNORM = 10.0
+STEPS = 12
+LOSS_RTOL = 1e-6
+WEIGHT_RTOL = 1e-6
+
+# tf_keras's legacy optimizer stores `learning_rate` and `momentum` as
+# FLOAT32 hyper-variables regardless of floatx, then casts them to the
+# variable dtype at apply time (`optimizer_v2._decayed_lr(var_dtype)`), so
+# the values its float64 update actually uses are f64(f32(0.05)) =
+# 0.05000000074505806 and f64(f32(0.9)) = 0.8999999761581421 — a ~1.5e-8
+# relative offset that a ReLU network amplifies ~2x/step (measured: seed
+# ~3e-9 weight error at step 0 growing to 2.7e-6 loss error by step 11).
+# `decay` stays a Python float (`_initial_decay`) and is exact.  Quantize
+# the same way on our side; production f32 runs are bit-unaffected
+# (f32(f64(f32(x))) == f32(x)).
+LR_Q = float(np.float32(LR))
+MOMENTUM_Q = float(np.float32(0.9))
+
+
+@pytest.fixture
+def float64_keras():
+    tf_keras.backend.set_floatx("float64")
+    try:
+        yield
+    finally:
+        tf_keras.backend.set_floatx("float32")
+
+
+def _make_batches(n_steps, batch, size, n_classes, seed):
+    rng = np.random.default_rng(seed)
+    # values generated in f32 then widened: both runtimes consume the
+    # numerically identical inputs
+    xs = rng.normal(0.0, 1.0, (n_steps, batch, size, size, 3)).astype(
+        np.float32).astype(np.float64)
+    ys = rng.integers(0, n_classes, (n_steps, batch))
+    return xs, ys
+
+
+def _unit_embedding(n_classes, dim, seed=7):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(0.0, 1.0, (n_classes, dim))
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    # f32-representable values: our train step casts the class-embedding
+    # table to f32 (the TPU layout); Keras consumes the same values in f64
+    return e.astype(np.float32).astype(np.float64)
+
+
+def _build_reference_training_model(ref_utils, arch, embed_dim, cls_classes):
+    """The reference's exact training graph: backbone -> l2norm Lambda
+    (learn_image_embeddings.py:127) -> optional cls branch (:16-45)."""
+    tf_keras.backend.clear_session()
+    km_embed = ref_utils.build_network(embed_dim, arch)
+    out = tf_keras.layers.Lambda(ref_utils.l2norm, name="l2norm")(
+        km_embed.output
+    )
+    km = tf_keras.models.Model(km_embed.inputs, out)
+    if cls_classes:
+        x = tf_keras.layers.Activation("relu")(km.output)
+        x = tf_keras.layers.BatchNormalization()(x)
+        x = tf_keras.layers.Dense(
+            cls_classes,
+            activation="softmax",
+            kernel_regularizer=tf_keras.regularizers.l2(5e-4),
+            name="prob",
+        )(x)
+        km = tf_keras.models.Model(km.inputs, [km.output, x])
+    return km
+
+
+def _compile_reference(km, cls_weight, ref_utils, decay):
+    opt = tf_keras.optimizers.legacy.SGD(
+        learning_rate=LR, momentum=0.9, nesterov=False, decay=decay,
+        clipnorm=CLIPNORM,
+    )
+    if cls_weight > 0:
+        km.compile(
+            optimizer=opt,
+            loss={"l2norm": ref_utils.inv_correlation,
+                  "prob": "categorical_crossentropy"},
+            loss_weights={"l2norm": 1.0, "prob": cls_weight},
+        )
+    else:
+        km.compile(optimizer=opt, loss=ref_utils.inv_correlation)
+    return opt
+
+
+def _import_trees(h5_path, arch, cls_classes, params_tpl, bs_tpl, what):
+    import flax
+
+    from semantic_embeddings_tpu.cli.import_keras_weights import (
+        map_layers, read_keras_h5)
+
+    params, batch_stats, skipped = map_layers(
+        read_keras_h5(h5_path), arch, has_cls_head=cls_classes > 0
+    )
+    assert skipped == [], f"{what}: unmapped h5 layers {skipped}"
+    params = _merge_full(flax.core.unfreeze(params_tpl), params,
+                         f"{what} params")
+    batch_stats = _merge_full(flax.core.unfreeze(bs_tpl), batch_stats,
+                              f"{what} batch_stats")
+    return params, batch_stats
+
+
+def _assert_tree_close(ours, ref_tree, what, rtol):
+    ours_flat = _flatten(ours)
+    ref_flat = _flatten(ref_tree)
+    assert set(ours_flat) == set(ref_flat), what
+    worst = (0.0, None)
+    for k, ref_v in ref_flat.items():
+        v = np.asarray(ours_flat[k], np.float64)
+        ref_v = np.asarray(ref_v, np.float64)
+        scale = max(np.abs(ref_v).max(), 1e-2)
+        err = float(np.abs(v - ref_v).max() / scale)
+        if err > worst[0]:
+            worst = (err, k)
+        np.testing.assert_allclose(
+            v, ref_v, rtol=0, atol=rtol * scale,
+            err_msg=f"{what}: {k} (rel err {err:.2e})",
+        )
+    return worst
+
+
+def _trajectory_roundtrip(ref_utils, arch, embed_dim, cls_weight, tmp_path,
+                          decay=DECAY, batch=20, size=32, n_classes=10):
+    import jax
+
+    cls_classes = n_classes if cls_weight > 0 else 0
+    km = _build_reference_training_model(ref_utils, arch, embed_dim,
+                                         cls_classes)
+    _randomize_weights(km, seed=zlib.crc32(f"traj-{arch}".encode()))
+    h5_init = str(tmp_path / "init.h5")
+    km.save_weights(h5_init)
+    _compile_reference(km, cls_weight, ref_utils, decay)
+
+    embedding = _unit_embedding(n_classes, embed_dim)
+    xs, ys = _make_batches(STEPS, batch, size, n_classes, seed=3)
+
+    ref_losses = []
+    for t in range(STEPS):
+        targets = embedding[ys[t]]
+        if cls_weight > 0:
+            onehot = np.eye(n_classes)[ys[t]]
+            out = km.train_on_batch(xs[t], [targets, onehot])
+            ref_losses.append({"loss": float(out[0]),
+                               "emb_loss": float(out[1]),
+                               "cls_loss": float(out[2])})
+        else:
+            ref_losses.append({"loss": float(km.train_on_batch(xs[t],
+                                                               targets))})
+    h5_final = str(tmp_path / "final.h5")
+    km.save_weights(h5_final)
+
+    with jax.enable_x64(True):
+        from semantic_embeddings_tpu.cli import common
+        from semantic_embeddings_tpu.train import make_train_step
+        from semantic_embeddings_tpu.train.optimizer import (
+            effective_lr, init_velocity)
+
+        model, spec = common.build_embedding_model(
+            embed_dim, arch, "inv_corr", cls_classes
+        )
+        if cls_weight > 0:
+            # the learn_image_embeddings CLI prepends the cls-head rule
+            spec.l2_filters = [(r"^cls_top$", 5e-4)] + list(spec.l2_filters)
+        state0 = common.init_model_state(model, spec.input_size, 3, seed=0)
+        params, batch_stats = _import_trees(
+            h5_init, arch, cls_classes, state0.params, state0.batch_stats,
+            f"{arch} init",
+        )
+        state = state0.replace(
+            params=params, batch_stats=batch_stats,
+            velocity=init_velocity(params),
+        )
+        step = make_train_step(
+            model,
+            lambda raw, rng, train: (raw["x"], raw["y"]),
+            loss_name="inv_corr",
+            class_embedding=embedding,
+            num_classes=n_classes,
+            cls_weight=cls_weight,
+            l2_penalty_fn=spec.l2_penalty,
+            momentum=MOMENTUM_Q,
+            nesterov=False,
+            clipnorm=CLIPNORM,
+        )
+        rng = jax.random.PRNGKey(0)  # no stochastic layers in these archs
+        our_losses = []
+        for t in range(STEPS):
+            # Keras iterations == t (0-based); LR_Q: see the f32
+            # hyper-variable note above
+            lr = effective_lr(LR_Q, decay, t)
+            state, metrics = step(
+                state, {"x": xs[t], "y": ys[t]}, np.float64(lr), rng
+            )
+            our_losses.append(jax.device_get(metrics))
+        state = jax.device_get(state)
+
+    # 1. the per-step loss trajectory (includes the L2 penalty, like Keras)
+    worst_l = 0.0
+    for t in range(STEPS):
+        for key, ref_val in ref_losses[t].items():
+            ours = float(our_losses[t][key])
+            err = abs(ours - ref_val) / max(abs(ref_val), 1e-2)
+            worst_l = max(worst_l, err)
+            assert err <= LOSS_RTOL, (
+                f"{arch} step {t} {key}: ours {ours!r} vs reference "
+                f"{ref_val!r} (rel err {err:.2e})"
+            )
+
+    # 2. final weights + BN statistics, via the same importer (conv-bias
+    # folding commutes with training, see module docstring)
+    ref_params, ref_bs = _import_trees(
+        h5_final, arch, cls_classes, state0.params, state0.batch_stats,
+        f"{arch} final",
+    )
+    import flax
+
+    worst_w = _assert_tree_close(
+        flax.core.unfreeze(state.params), ref_params,
+        f"{arch} final params", rtol=WEIGHT_RTOL,
+    )
+    worst_bs = _assert_tree_close(
+        flax.core.unfreeze(state.batch_stats), ref_bs,
+        f"{arch} final batch_stats", rtol=WEIGHT_RTOL,
+    )
+    print(f"{arch} cls_weight={cls_weight}: {STEPS} steps; worst loss "
+          f"rel-err {worst_l:.2e}; worst param rel-err {worst_w[0]:.2e} at "
+          f"{worst_w[1]}; worst batch-stat rel-err {worst_bs[0]:.2e} at "
+          f"{worst_bs[1]}")
+
+
+def test_trajectory_simple(ref_utils, float64_keras, tmp_path):
+    """A 12-step reference train_on_batch run (decay + clipnorm + momentum
+    + BN-stat updates + L2 regularization active) is reproduced step for
+    step by our jitted train step (measured residual ~4e-8)."""
+    _trajectory_roundtrip(ref_utils, "simple", 16, 0.0, tmp_path)
+
+
+@pytest.mark.slow
+def test_trajectory_resnet110wfc(ref_utils, float64_keras, tmp_path):
+    _trajectory_roundtrip(ref_utils, "resnet-110-wfc", 100, 0.0, tmp_path,
+                          batch=16)
+
+
+@pytest.mark.slow
+def test_trajectory_cls_head(ref_utils, float64_keras, tmp_path):
+    """cls_weight > 0: dual-loss compile (inv_corr + weighted categorical
+    crossentropy through the ReLU+BN+Dense branch)."""
+    _trajectory_roundtrip(ref_utils, "simple", 16, 0.1, tmp_path)
