@@ -77,6 +77,10 @@ def build_parser():
                      help="Pending-image cap; beyond it requests get HTTP "
                           "503 + Retry-After instead of queueing unbounded "
                           "(default: 16 full batches).")
+    srv.add_argument("--warmup", action="store_true", default=False,
+                     help="Pre-compile every batch bucket before accepting "
+                          "traffic, so no live request pays a first-hit "
+                          "XLA compile.")
 
     prep = parser.add_argument_group("preprocessing")
     prep.add_argument("--dataset", type=str, default=None,
@@ -225,6 +229,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     common.ensure_compile_cache()
     server = make_server(args)
+    if args.warmup:
+        print(f"warming up buckets {server.engine.buckets} ...", flush=True)
+        timings = server.engine.warmup()
+        print(f"warmup done: {timings} s per bucket", flush=True)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(max_batch {args.max_batch}, "
           f"timeout {args.batch_timeout_ms} ms)", flush=True)

@@ -30,13 +30,20 @@ class ServingError(RuntimeError):
 
 
 class ServingClient:
-    def __init__(self, base_url, timeout=60.0):
+    def __init__(self, base_url, timeout=60.0, retries=0, retry_backoff=0.2):
+        """``retries``: extra attempts after a retryable failure — HTTP 503
+        (the server's backpressure signal when the pending-image queue is
+        full), other 5xx, and connection-level errors.  4xx responses are
+        never retried (the request itself is bad).  ``retry_backoff``:
+        initial sleep in seconds, doubled per attempt."""
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.retries = int(retries)
+        self.retry_backoff = float(retry_backoff)
 
     # -- internals -----------------------------------------------------------
 
-    def _request(self, path, body=None, ctype=None, accept=None):
+    def _request_once(self, path, body=None, ctype=None, accept=None):
         headers = {}
         if ctype:
             headers["Content-Type"] = ctype
@@ -57,6 +64,22 @@ class ServingClient:
             except Exception:  # noqa: BLE001 - non-JSON error body
                 message = raw.decode(errors="replace")
             raise ServingError(e.code, message) from None
+
+    def _request(self, path, body=None, ctype=None, accept=None):
+        import time
+
+        delay = self.retry_backoff
+        for attempt in range(self.retries + 1):
+            try:
+                return self._request_once(path, body, ctype, accept)
+            except ServingError as e:
+                if attempt >= self.retries or e.code < 500:
+                    raise
+            except urllib.error.URLError:
+                if attempt >= self.retries:
+                    raise
+            time.sleep(delay)
+            delay *= 2
 
     def _get_json(self, path):
         _, body = self._request(path)

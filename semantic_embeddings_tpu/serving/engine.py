@@ -57,7 +57,16 @@ class Future:
         if not self._event.wait(timeout):
             raise TimeoutError("request did not complete in time")
         if self._error is not None:
-            raise self._error
+            # A device-call error is delivered to EVERY waiter of the pack;
+            # raising the shared instance would let concurrent waiters
+            # mutate each other's traceback — raise a per-waiter copy
+            # chained to the original instead.
+            err = self._error
+            try:
+                copy = type(err)(*err.args)
+            except Exception:  # noqa: BLE001 - exotic ctor signature
+                copy = RuntimeError(f"{type(err).__name__}: {err}")
+            raise copy from err
         return self._value
 
 
@@ -195,6 +204,22 @@ class BatchingEngine:
         if self._thread is None:
             raise RuntimeError("engine not started")
         return self.submit(x).result(timeout)
+
+    def warmup(self, buckets=None):
+        """Pre-compiles every batch bucket by running the model on zeros,
+        so no live request ever pays a first-hit XLA compile (seconds to
+        minutes over the tunneled backend).  Runs inline on the caller's
+        thread — call before serving traffic.  Returns per-bucket seconds."""
+        timings = {}
+        for b in (sorted(buckets) if buckets else self.buckets):
+            x = np.zeros((b,) + self.input_tail, dtype=np.float32)
+            if self._sharding is not None:
+                x = jax.device_put(x, self._sharding)
+            t0 = time.perf_counter()
+            out = self._fn(x)
+            jax.tree_util.tree_map(np.asarray, out)  # block until done
+            timings[int(b)] = round(time.perf_counter() - t0, 3)
+        return timings
 
     def stats(self):
         with self._lock:

@@ -727,3 +727,103 @@ def test_serve_cli_end_to_end(tmp_path):
                                    rtol=1e-4)
     finally:
         srv.stop()
+
+
+# -- round-3 hardening: exception copies, warmup, client retries ------------
+
+
+def test_future_exception_delivered_as_independent_copies():
+    """A pack-wide device error reaches every waiter as a DISTINCT
+    exception object chained to the shared original, so concurrent
+    waiters cannot mutate each other's traceback."""
+
+    def boom(x):
+        raise RuntimeError("device on fire")
+
+    eng = make_engine(fn=boom, timeout_ms=300.0)
+    futs = [eng.submit(np.zeros((1, 4, 4, 3), np.float32)) for _ in range(2)]
+    eng.start()
+    raised = []
+    for f in futs:
+        with pytest.raises(RuntimeError, match="device on fire") as ei:
+            f.result(timeout=10)
+        raised.append(ei.value)
+    eng.stop()
+    assert raised[0] is not raised[1]
+    # both chain to the one original exception raised inside the device call
+    assert raised[0].__cause__ is raised[1].__cause__
+    assert isinstance(raised[0].__cause__, RuntimeError)
+
+
+def test_engine_warmup_precompiles_every_bucket():
+    seen = []
+    eng = make_engine(seen=seen, max_batch=8)
+    timings = eng.warmup()
+    # one call per bucket, largest included, without starting the loop
+    assert seen == [1, 2, 4, 8]
+    assert sorted(timings) == [1, 2, 4, 8]
+    assert all(t >= 0 for t in timings.values())
+    # warmed engine serves normally afterwards
+    with eng:
+        out = eng.predict(np.ones((3, 4, 4, 3), np.float32), timeout=10)
+        assert out["emb"].shape == (3, 4, 4, 3)
+
+
+def test_client_retries_5xx_and_connection_errors(monkeypatch):
+    from semantic_embeddings_tpu.serving.client import (ServingClient,
+                                                        ServingError)
+
+    client = ServingClient("http://example.invalid", retries=3,
+                           retry_backoff=0.0)
+    calls = {"n": 0}
+
+    def flaky(path, body=None, ctype=None, accept=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ServingError(503, "queue full; retry later")
+        return "application/json", b'{"status": "ok"}'
+
+    monkeypatch.setattr(client, "_request_once", flaky)
+    assert client.health() == {"status": "ok"}
+    assert calls["n"] == 3
+
+    # 4xx is the caller's bug: never retried
+    calls["n"] = 0
+
+    def bad_request(path, body=None, ctype=None, accept=None):
+        calls["n"] += 1
+        raise ServingError(400, "bad body")
+
+    monkeypatch.setattr(client, "_request_once", bad_request)
+    with pytest.raises(ServingError, match="bad body"):
+        client.health()
+    assert calls["n"] == 1
+
+    # retries exhausted: the last error propagates
+    calls["n"] = 0
+
+    def always_503(path, body=None, ctype=None, accept=None):
+        calls["n"] += 1
+        raise ServingError(503, "still full")
+
+    monkeypatch.setattr(client, "_request_once", always_503)
+    with pytest.raises(ServingError, match="still full"):
+        client.health()
+    assert calls["n"] == 4  # 1 + 3 retries
+
+
+def test_client_default_is_no_retry(monkeypatch):
+    from semantic_embeddings_tpu.serving.client import (ServingClient,
+                                                        ServingError)
+
+    client = ServingClient("http://example.invalid")
+    calls = {"n": 0}
+
+    def always_503(path, body=None, ctype=None, accept=None):
+        calls["n"] += 1
+        raise ServingError(503, "full")
+
+    monkeypatch.setattr(client, "_request_once", always_503)
+    with pytest.raises(ServingError):
+        client.health()
+    assert calls["n"] == 1
