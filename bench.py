@@ -42,9 +42,25 @@ KERAS_GPU_BASELINE_IPS = 11.3e12 / 5.696e9  # = 1,984 img/s ceiling
 BATCH = 256
 WARMUP_STEPS = 10
 MEASURE_STEPS = 50
-# Best of N windows: filters one-off stalls external to the device (remote
-# tunnel hiccups, host scheduling) out of the steady-state number.
-MEASURE_WINDOWS = 3
+# Median of N windows, with the min-max band reported alongside: run-to-run
+# spread on this setup comes from outside the device (remote tunnel hiccups,
+# host scheduling), and a single best-of point let the certificate and the
+# driver artifact drift apart silently (round-2 verdict: 2,602 vs 2,722
+# rn50 readings).  The median is the honest steady-state number; the band
+# makes the spread visible in the JSON itself.
+MEASURE_WINDOWS = 5
+
+
+def _measure_windows(run_window, windows):
+    """Returns (median_ips, band dict) over ``windows`` timed windows."""
+    ips = sorted(run_window() for _ in range(windows))
+    median = ips[len(ips) // 2]
+    return median, {
+        "windows": windows,
+        "ips_min": round(ips[0], 1),
+        "ips_max": round(ips[-1], 1),
+        "spread_pct": round(100.0 * (ips[-1] - ips[0]) / median, 2),
+    }
 
 
 def main():
@@ -137,36 +153,40 @@ def main():
         state, metrics = train_step(state, batches[i % len(batches)], 0.1, rng)
     jax.block_until_ready(metrics)
 
-    best = np.inf
-    for _ in range(MEASURE_WINDOWS):
+    def run_window():
+        nonlocal state
         t0 = time.perf_counter()
         for i in range(MEASURE_STEPS):
             state, metrics = train_step(
                 state, batches[i % len(batches)], 0.1, rng
             )
         jax.block_until_ready(metrics)
-        best = min(best, time.perf_counter() - t0)
+        return BATCH * MEASURE_STEPS / (time.perf_counter() - t0)
 
-    ips = BATCH * MEASURE_STEPS / best
+    ips, band = _measure_windows(run_window, MEASURE_WINDOWS)
 
     out = {
         "metric": "train_images_per_sec_per_chip_resnet110wfc_cifar100_cosine",
         "value": round(ips, 1),
-        "unit": "images/sec/chip",
+        "unit": "images/sec/chip (median of %d windows)" % MEASURE_WINDOWS,
         "vs_baseline": round(ips / KERAS_GPU_BASELINE_IPS, 3),
+        "band": band,
     }
     if os.environ.get("BENCH_RN50", "1") != "0":
         try:
-            out["extra"] = {"rn50_224_ips": round(bench_rn50(jax), 1)}
+            rn50_ips, rn50_band = bench_rn50(jax)
+            out["extra"] = {"rn50_224_ips": round(rn50_ips, 1),
+                            "rn50_224_band": rn50_band}
         except Exception as e:  # never let the extra config kill the headline
             out["extra"] = {"rn50_224_error": repr(e)[:200]}
     print(json.dumps(out))
 
 
-def bench_rn50(jax, batch=128, size=224, steps=10, windows=2):
+def bench_rn50(jax, batch=128, size=224, steps=10, windows=3):
     """ResNet-50 @224 bf16 train-step throughput (img/s) — the VERDICT r1
     secondary config (the reference's CUB/NAB/ILSVRC recipes,
-    ``/root/reference/README.md:267,283,304``). Disable with BENCH_RN50=0."""
+    ``/root/reference/README.md:267,283,304``). Disable with BENCH_RN50=0.
+    Returns ``(median_ips, band)`` like the headline config."""
     import jax.numpy as jnp
 
     from semantic_embeddings_tpu.data import SyntheticDataset
@@ -192,14 +212,16 @@ def bench_rn50(jax, batch=128, size=224, steps=10, windows=2):
     for i in range(5):
         state, m = step(state, raws[i % len(raws)], 0.1, rng)
     jax.block_until_ready(m)
-    best = np.inf
-    for _ in range(windows):
+
+    def run_window():
+        nonlocal state
         t0 = time.perf_counter()
         for i in range(steps):
             state, m = step(state, raws[i % len(raws)], 0.1, rng)
         jax.block_until_ready(m)
-        best = min(best, time.perf_counter() - t0)
-    return batch * steps / best
+        return batch * steps / (time.perf_counter() - t0)
+
+    return _measure_windows(run_window, windows)
 
 
 if __name__ == "__main__":
