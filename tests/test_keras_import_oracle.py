@@ -108,10 +108,37 @@ def _install_keras2_shims():
                   image_data_format=tf_keras.backend.image_data_format)
     tf_keras.backend.tensorflow_backend = tb
     tf_keras.backend.common = common
-    # Keras-2.2-era `K.tf` alias (used by ChannelPadding's call)
+    # Keras-2.2-era `K.tf` alias (used by ChannelPadding's call and the
+    # labelembed/center-loss graphs: K.tf.nn.log_softmax, K.tf.zeros)
     import tensorflow as tf
 
     tf_keras.backend.tf = tf
+    # `from keras.preprocessing.image import ...` (reference datasets/
+    # common.py:7) — tf_keras's preprocessing package is lazy, so register
+    # the submodule explicitly for the learner-module imports.
+    import importlib
+
+    pi = importlib.import_module("tf_keras.preprocessing.image")
+    pi_shim = types.ModuleType("keras.preprocessing.image")
+    for attr in dir(pi):
+        if not attr.startswith("__"):
+            setattr(pi_shim, attr, getattr(pi, attr))
+    # keras_preprocessing helper tf_keras dropped; the reference's ILSVRC
+    # loader imports it at module scope (never called in these tests)
+    import glob as _glob
+    import re as _re
+
+    pi_shim.list_pictures = lambda directory, ext=(
+        "jpg", "jpeg", "bmp", "png", "ppm", "tif", "tiff"): [
+        f for f in sorted(_glob.glob(os.path.join(directory, "**", "*"),
+                                     recursive=True))
+        if _re.search(r"\.(" + "|".join(ext) + r")$", f.lower())
+    ]
+    mods["keras_preprocessing"] = shim("keras_preprocessing")
+    mods["keras_preprocessing.image"] = pi_shim
+    mods["keras.preprocessing"] = importlib.import_module(
+        "tf_keras.preprocessing")
+    mods["keras.preprocessing.image"] = pi_shim
     sys.modules.update(mods)
 
 
