@@ -191,6 +191,18 @@ def resolve_mesh(gpus, bn_per_replica=False, spatial=1):
         set_default_bn_groups(n // spatial)
         if n // spatial > 1:
             print(f"BatchNorm: per-replica statistics over {n // spatial} shards")
+    elif n // spatial > 1:
+        # The reference's multi_gpu_model computes BN statistics per tower;
+        # our default is global-batch sync BN (usually better, but different
+        # semantics at small per-shard batches — measured in
+        # tests/test_bn_modes.py).  Say so whenever a multi-GPU recipe is
+        # reproduced without opting in, so the divergence is a decision.
+        print(
+            f"NOTE: --gpus {n} uses global-batch (sync) BatchNorm statistics; "
+            "the reference's multi_gpu_model computes them per tower. Pass "
+            "--bn_per_replica to reproduce published multi-GPU recipes "
+            "exactly (see PARITY.md / RECIPES.md)."
+        )
     return get_mesh(n, spatial=spatial) if n > 1 else None
 
 

@@ -10,9 +10,19 @@ this framework's parameter tree for the supported families:
 - ``resnet-32/110/-fc/-wfc`` (SmallResNet): ``conv0/bn0``,
   ``res{s}-{b}x|y|z`` / ``bn{s}-{b}x|y|z`` -> ``stage{s}_block{b}/
   conv_a|conv_b|conv_sc`` (+BNs), ``embedding``/``prob`` -> ``top``.
-- ``resnet-50`` (keras-applications v1): ``conv1/bn_conv1``,
+- ``resnet-50`` (legacy keras.applications v1): ``conv1/bn_conv1``,
   ``res{S}{L}_branch2a|2b|2c|1`` -> ``stage{S-1}_block{idx}/
   conv_a|conv_b|conv_c|conv_sc``.
+- ``resnet-101/152`` (``keras_applications.resnet`` resnet_common, the
+  builder the reference pins for these two at
+  ``/root/reference/utils.py:230-233`` — note the DIFFERENT naming scheme
+  from resnet-50): ``conv1_conv/conv1_bn``,
+  ``conv{S}_block{N}_{1|2|3|0}_conv|bn`` -> ``stage{S-1}_block{N}/
+  conv_a|conv_b|conv_c|conv_sc`` (+BNs).
+- ``rn18``-``rn200`` (keras-resnet): NOT COVERED — keras-resnet is not
+  installable in this environment, so its exact layer naming/order could
+  not be oracle-verified; the importer refuses these with a clear error
+  rather than guessing (the architectures themselves build and train).
 - ``wrn-28-10`` / ``pyramidnet-272-200`` / ``pyramidnet-110-270`` /
   ``densenet-100-12|100-24|bc-190-40``: these reference models leave inner
   layers unnamed (Keras auto-names ``conv2d_*`` / ``batch_normalization_*``),
@@ -198,6 +208,16 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
     For bias-free-conv families (see ``_fold_architecture``), Keras conv
     biases are folded into the following BN's moving mean instead of being
     assigned (exactly equivalent; see ``_CONV_TO_BN``)."""
+    if re.fullmatch(r"rn(18|34|50|101|152|200)(-selu)?", architecture):
+        raise ValueError(
+            f"h5 import for {architecture!r} is NOT COVERED: the reference "
+            "builds this family from keras-resnet "
+            "(/root/reference/utils.py:245-264), which is not installable "
+            "in this environment, so its h5 layer naming/order could not "
+            "be oracle-verified. Use the keras-applications family "
+            "(resnet-50/101/152) for verified h5 interop; rn* models "
+            "still build and train from scratch."
+        )
     params, batch_stats = {}, {}
     bias_folds = {} if _fold_architecture(architecture) else None
 
@@ -251,8 +271,26 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
         m_small_bn = re.fullmatch(r"bn(\d+)-(\d+)([xyz])", name)
         m_rn50_conv = re.fullmatch(r"res(\d)([a-z])_branch(2a|2b|2c|1)", name)
         m_rn50_bn = re.fullmatch(r"bn(\d)([a-z])_branch(2a|2b|2c|1)", name)
+        # keras_applications.resnet (resnet_common) names, used by the
+        # reference's resnet-101/152 builders: conv{S}_block{N}_{i}_{conv,bn}
+        m_rncommon = re.fullmatch(r"conv(\d)_block(\d+)_([0123])_(conv|bn)",
+                                  name)
+        is_rncommon = architecture in ("resnet-101", "resnet-152")
 
-        if architecture.startswith("resnet-") and m_small_conv:
+        if is_rncommon and m_rncommon:
+            stage, block, idx, kind = m_rncommon.groups()
+            sub = {"1": "_a", "2": "_b", "3": "_c", "0": "_sc"}[idx]
+            path = bpath(f"stage{int(stage) - 1}_block{int(block)}",
+                         ("conv" if kind == "conv" else "bn") + sub)
+            if kind == "conv":
+                _put_conv(params, path, take(name), bias_folds)
+            else:
+                _put_bn(params, batch_stats, path, take(name))
+        elif is_rncommon and name == "conv1_conv":
+            _put_conv(params, bpath("conv0"), take(name), bias_folds)
+        elif is_rncommon and name == "conv1_bn":
+            _put_bn(params, batch_stats, bpath("bn0"), take(name))
+        elif architecture.startswith("resnet-") and m_small_conv:
             s, b, which = m_small_conv.groups()
             sub = {"x": "conv_a", "y": "conv_b", "z": "conv_sc"}[which]
             _put_conv(params, bpath(f"stage{s}_block{b}", sub), take(name),

@@ -193,9 +193,15 @@ def build_network(
 
     if architecture in ("resnet-50", "resnet-101", "resnet-152"):
         depth = int(architecture.split("-")[1])
+        # BN epsilon per reference builder: resnet-50 is the legacy
+        # keras.applications.ResNet50 (Keras-default eps 1e-3,
+        # /root/reference/utils.py:235-237); 101/152 come from
+        # keras_applications.resnet (resnet_common, eps 1.001e-5,
+        # utils.py:230-233).
         module = ResNet(
             depth=depth, classes=num_outputs, include_top=True,
-            top_activation=top, remat=remat, dtype=dtype,
+            top_activation=top, remat=remat,
+            bn_epsilon=1e-3 if depth == 50 else 1.001e-5, dtype=dtype,
         )
         return ModelSpec(architecture, module, [], 224)  # no regularizer in ref
 

@@ -36,12 +36,12 @@ STAGE_BLOCKS = {
 }
 
 
-def _bn(dtype, name):
-    # Keras-2.2 parity: keras_applications' resnet50 (and keras-resnet)
-    # never pass epsilon, so every BN runs at the Keras default 1e-3 —
-    # NOT the 1.001e-5 of modern tf.keras resnets.  Matters for imported
-    # reference .h5 models (53 BNs compound the difference).
-    return KerasBatchNorm(momentum=0.99, epsilon=1e-3, dtype=dtype, name=name)
+def _bn(dtype, name, epsilon=1e-3):
+    # Keras-2.2 parity: the BN epsilon differs per reference builder —
+    # see ResNet.bn_epsilon.  Matters for imported reference .h5 models
+    # (50+ BNs compound the difference).
+    return KerasBatchNorm(momentum=0.99, epsilon=epsilon, dtype=dtype,
+                          name=name)
 
 
 class SpaceToDepthStem(nn.Module):
@@ -140,6 +140,7 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     project: bool = False
     conv1x1_as_dot: bool = False
+    bn_epsilon: float = 1e-3
     dtype: Any = None
 
     @nn.compact
@@ -154,18 +155,19 @@ class BottleneckBlock(nn.Module):
                         kernel_init="he_normal", dtype=self.dtype)
 
         y = c1(f, self.stride, "conv_a")(x)
-        y = _bn(self.dtype, "bn_a")(y, train)
+        y = _bn(self.dtype, "bn_a", self.bn_epsilon)(y, train)
         y = nn.relu(y)
         y = conv(f, 3, use_bias=False, name="conv_b",
                  kernel_init="he_normal", dtype=self.dtype)(y)
-        y = _bn(self.dtype, "bn_b")(y, train)
+        y = _bn(self.dtype, "bn_b", self.bn_epsilon)(y, train)
         y = nn.relu(y)
         y = c1(f * 4, 1, "conv_c")(y)
-        y = _bn(self.dtype, "bn_c")(y, train)
+        y = _bn(self.dtype, "bn_c", self.bn_epsilon)(y, train)
         shortcut = x
         if self.project:
             shortcut = c1(f * 4, self.stride, "conv_sc")(x)
-            shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
+            shortcut = _bn(self.dtype, "bn_sc", self.bn_epsilon)(
+                shortcut, train)
         return nn.relu(y + shortcut)
 
 
@@ -173,6 +175,7 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     project: bool = False
+    bn_epsilon: float = 1e-3
     dtype: Any = None
 
     @nn.compact
@@ -180,16 +183,17 @@ class BasicBlock(nn.Module):
         f = self.features
         y = conv(f, 3, self.stride, use_bias=False, name="conv_a",
                  kernel_init="he_normal", dtype=self.dtype)(x)
-        y = _bn(self.dtype, "bn_a")(y, train)
+        y = _bn(self.dtype, "bn_a", self.bn_epsilon)(y, train)
         y = nn.relu(y)
         y = conv(f, 3, use_bias=False, name="conv_b",
                  kernel_init="he_normal", dtype=self.dtype)(y)
-        y = _bn(self.dtype, "bn_b")(y, train)
+        y = _bn(self.dtype, "bn_b", self.bn_epsilon)(y, train)
         shortcut = x
         if self.project:
             shortcut = conv(f, 1, self.stride, use_bias=False, name="conv_sc",
                             kernel_init="he_normal", dtype=self.dtype)(x)
-            shortcut = _bn(self.dtype, "bn_sc")(shortcut, train)
+            shortcut = _bn(self.dtype, "bn_sc", self.bn_epsilon)(
+                shortcut, train)
         return nn.relu(y + shortcut)
 
 
@@ -210,6 +214,15 @@ class ResNet(nn.Module):
     stem_s2d: bool = False
     #: express 1x1 convs as flattened GEMMs (Conv1x1AsDot) — probe flag
     conv1x1_as_dot: bool = False
+    #: BatchNorm epsilon — differs per reference builder: the legacy
+    #: ``keras.applications.ResNet50`` the reference pins for resnet-50
+    #: (``/root/reference/utils.py:235-237``) never passes epsilon (Keras
+    #: default 1e-3), while resnet-101/152 come from
+    #: ``keras_applications.resnet`` (``utils.py:230-233``, the
+    #: resnet_common implementation added in keras-applications 1.0.7)
+    #: whose every BN hardcodes 1.001e-5.  build_network sets this per
+    #: architecture; matters for imported reference ``.h5`` models.
+    bn_epsilon: float = 1e-3
     dtype: Any = None
 
     @nn.compact
@@ -235,7 +248,7 @@ class ResNet(nn.Module):
             x = conv(64, 7, 2, use_bias=False, name="conv0",
                      padding="VALID", kernel_init="he_normal",
                      dtype=self.dtype)(x)
-        x = _bn(self.dtype, "bn0")(x, train)
+        x = _bn(self.dtype, "bn0", self.bn_epsilon)(x, train)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = max_pool(x, 3, 2, padding="VALID")
@@ -251,6 +264,7 @@ class ResNet(nn.Module):
                     features=features,
                     stride=2 if (b == 0 and stage > 0) else 1,
                     project=b == 0,
+                    bn_epsilon=self.bn_epsilon,
                     dtype=self.dtype,
                     name=f"stage{stage + 1}_block{b + 1}",
                     **extra,

@@ -168,3 +168,28 @@ def test_bn_mode_ab_convergence():
     # the expected small-statistics degradation, not a parity breaker.
     assert abs(last_sync - last_two) < 0.25 * max(last_sync, last_two) + 0.05, (
         last_sync, last_two)
+
+
+def test_multi_gpu_bn_note(capsys):
+    """--gpus > 1 without --bn_per_replica prints the sync-BN divergence
+    note (VERDICT r3 #6: silently different BN semantics than the
+    reference's per-tower multi_gpu_model); with the flag it prints the
+    per-replica line instead."""
+    from semantic_embeddings_tpu.cli.common import resolve_mesh
+    from semantic_embeddings_tpu.models import layers as L
+
+    old = L.DEFAULT_BN_GROUPS
+    try:
+        assert resolve_mesh(2) is not None
+        out = capsys.readouterr().out
+        assert "--bn_per_replica" in out and "per tower" in out
+
+        assert resolve_mesh(1) is None
+        assert "--bn_per_replica" not in capsys.readouterr().out
+
+        assert resolve_mesh(2, bn_per_replica=True) is not None
+        out = capsys.readouterr().out
+        assert "per-replica statistics over 2 shards" in out
+        assert "NOTE:" not in out
+    finally:
+        L.set_default_bn_groups(old)

@@ -111,6 +111,14 @@ def test_export_reference_load_forward_parity(ref_utils, arch, embed_dim,
     _export_circle(ref_utils, arch, embed_dim, tmp_path)
 
 
+def test_export_reference_load_forward_parity_resnet101(ref_utils, tmp_path):
+    """resnet-101 interop circle (keras_applications.resnet naming; 152
+    shares the identical code path with different block counts).  64px:
+    the builder is size-polymorphic, same weights/wiring as 224."""
+    _export_circle(ref_utils, "resnet-101", 100, tmp_path, input_hw=64,
+                   atol=3e-4)
+
+
 def test_layer_order_tables_are_current(ref_utils):
     """The committed ``_keras_layer_orders.py`` matches the live
     ``model.layers`` order of the reference's builders (regenerate with

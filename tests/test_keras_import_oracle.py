@@ -139,6 +139,18 @@ def _install_keras2_shims():
     mods["keras.preprocessing"] = importlib.import_module(
         "tf_keras.preprocessing")
     mods["keras.preprocessing.image"] = pi_shim
+    # keras_applications shim: the reference builds resnet-101/152 from
+    # keras_applications.resnet (utils.py:228-238).  tf_keras's
+    # applications.resnet is the SAME resnet_common implementation
+    # (identical layer names conv{S}_block{N}_{i}_*, BN eps 1.001e-5,
+    # stride placement), so it stands in as the oracle builder.  The
+    # reference's `keras_applications._KERAS_BACKEND = ...` assignments at
+    # utils.py:10-13 land harmlessly on the shim module.
+    ka = shim("keras_applications")
+    ka.resnet = types.ModuleType("keras_applications.resnet")
+    ka.resnet.ResNet101 = tf_keras.applications.ResNet101
+    ka.resnet.ResNet152 = tf_keras.applications.ResNet152
+    mods["keras_applications.resnet"] = ka.resnet
     sys.modules.update(mods)
 
 
@@ -268,6 +280,33 @@ def test_importer_forward_parity_fast(ref_utils, arch, embed_dim, tmp_path):
 ])
 def test_importer_forward_parity_slow(ref_utils, arch, embed_dim, tmp_path):
     _roundtrip(ref_utils, arch, embed_dim, tmp_path)
+
+
+def test_importer_forward_parity_resnet101(ref_utils, tmp_path):
+    """resnet-101 oracle through the reference's OWN builder path
+    (keras_applications.resnet.ResNet101, shimmed to tf_keras's identical
+    resnet_common implementation): save h5, import (bias folding into the
+    1.001e-5-eps BNs), assert forward parity.  The builder is
+    size-polymorphic (input_shape=None at utils.py:158), so the oracle
+    runs at 64px — same weights/wiring as 224, 12x cheaper."""
+    _roundtrip(ref_utils, "resnet-101", 100, tmp_path, input_hw=64,
+               atol=3e-4)
+
+
+@pytest.mark.slow
+def test_importer_forward_parity_resnet152(ref_utils, tmp_path):
+    _roundtrip(ref_utils, "resnet-152", 100, tmp_path, input_hw=64,
+               atol=3e-4)
+
+
+def test_rn_family_import_not_covered(tmp_path):
+    """rn18-rn200 h5 import refuses with a clear NOT-COVERED message
+    (keras-resnet is not installable here, so its layer naming could not
+    be oracle-verified; guessing would silently corrupt imports)."""
+    from semantic_embeddings_tpu.cli.import_keras_weights import map_layers
+
+    with pytest.raises(ValueError, match="NOT COVERED.*keras-resnet"):
+        map_layers({"conv1": [np.zeros((7, 7, 3, 64), np.float32)]}, "rn50")
 
 
 def test_resnet50_name_map_covers_model(ref_utils, tmp_path):

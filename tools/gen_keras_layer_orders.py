@@ -32,6 +32,11 @@ ARCHS = [
     "resnet-110-fc",
     "resnet-110-wfc",
     "resnet-50",
+    # resnet-101/152 come from keras_applications.resnet (resnet_common):
+    # their h5 files use the MODERN conv{S}_block{N}_{i}_* names directly
+    # (no Keras-2.2 translation), which the importer maps natively.
+    "resnet-101",
+    "resnet-152",
     "wrn-28-10",
     "pyramidnet-272-200",
     "pyramidnet-110-270",
