@@ -28,6 +28,13 @@ this framework's parameter tree for the supported families:
   layers unnamed (Keras auto-names ``conv2d_*`` / ``batch_normalization_*``),
   so weights are mapped BY ORDER of the h5 layer list (creation order);
   counts are validated before assignment.
+- ``nasnet-a`` (keras NASNetLarge, ``/root/reference/utils.py:266-272``):
+  name-based map — ``stem_conv1/stem_bn1``,
+  ``separable_conv_{1,2}[_bn]_{normal|reduction}_{leftN|rightN}_{id}`` ->
+  ``cell_{id}/{leftN|rightN}/dw{r}|pw{r}|bn{r}`` (the SeparableConv2D
+  depthwise kernel (k,k,Cin,1) transposes to flax's grouped-conv
+  (k,k,1,Cin)), ``normal|reduction_conv_1_{id}`` -> ``cell_{id}/conv_1``,
+  ``adjust_conv_{1,2}|projection|bn_{id}`` -> ``cell_{id}/adjust/...``.
 - the trainer's classification head: ``prob`` -> ``cls_top``, its
   preceding BatchNorm -> ``cls_bn``.
 
@@ -192,6 +199,64 @@ def _densenet_order(depth, bottleneck, nb_dense_block=3):
     return convs, bns
 
 
+#: keras NASNet layer-name patterns (tf_keras/keras_applications nasnet.py;
+#: block ids: stem_1, stem_2, 0..n-1, reduce_n, n+1..2n, reduce_2n,
+#: 2n+1..3n for num_blocks=n). Our module names are ``cell_{block_id}``.
+_NASNET_SEP = re.compile(
+    r"separable_conv_([12])_(?:(bn)_)?(?:normal|reduction)_"
+    r"(left\d|right\d)_(.+)")
+_NASNET_CELL_CONV = re.compile(r"(?:normal|reduction)_(conv|bn)_1_(.+)")
+_NASNET_ADJUST = re.compile(r"adjust_(conv_1|conv_2|conv_projection|bn)_(.+)")
+
+
+def _map_nasnet_layer(name, weights, params, batch_stats, layers, bpath):
+    """Maps one keras NASNet layer by name; returns True when consumed."""
+    m = _NASNET_SEP.fullmatch(name)
+    if m:
+        rep, is_bn, sub, block = m.groups()
+        r = int(rep) - 1
+        cell = bpath(f"cell_{block}", sub)
+        if is_bn:
+            _put_bn(params, batch_stats, cell + [f"bn{r}"], weights)
+        else:
+            dw, pw = weights[0], weights[1]
+            # keras SeparableConv2D depthwise kernel (k,k,Cin,1) ->
+            # flax grouped-conv kernel (k,k,1,Cin)
+            _assign(params, cell + [f"dw{r}"], "kernel",
+                    np.transpose(dw, (0, 1, 3, 2)))
+            _assign(params, cell + [f"pw{r}"], "kernel", pw)
+        return True
+    m = _NASNET_CELL_CONV.fullmatch(name)
+    if m:
+        kind, block = m.groups()
+        path = bpath(f"cell_{block}", "conv_1")
+        if kind == "conv":
+            _put_conv(params, path + ["conv"], weights)
+        else:
+            _put_bn(params, batch_stats, path + ["bn"], weights)
+        return True
+    m = _NASNET_ADJUST.fullmatch(name)
+    if m:
+        which, block = m.groups()
+        adjust = bpath(f"cell_{block}", "adjust")
+        if which == "conv_projection":
+            _put_conv(params, adjust + ["squeeze", "conv"], weights)
+        elif which in ("conv_1", "conv_2"):
+            _put_conv(params, adjust + ["factorize", which], weights)
+        else:  # the adjust BN — its submodule depends on which path exists
+            sub = ("factorize" if f"adjust_conv_1_{block}" in layers
+                   else "squeeze")
+            _put_bn(params, batch_stats, adjust + [sub, "bn"], weights)
+        return True
+    if name == "stem_conv1":
+        _put_conv(params, bpath("stem_conv"), weights)
+        return True
+    if name == "stem_bn1":
+        _put_bn(params, batch_stats, bpath("stem_bn"), weights)
+        return True
+    return False
+
+
 _ORDERED_FAMILIES = {
     "wrn-28-10": lambda: _wrn_order(4),
     "pyramidnet-272-200": lambda: _pyramidnet_order(272, True),
@@ -266,6 +331,10 @@ def map_layers(layers, architecture, has_cls_head=False, backbone_key="backbone"
 
     for name in list(layers.keys()):
         if name in consumed:
+            continue
+        if architecture == "nasnet-a" and _map_nasnet_layer(
+                name, layers[name], params, batch_stats, layers, bpath):
+            consumed.add(name)
             continue
         m_small_conv = re.fullmatch(r"res(\d+)-(\d+)([xyz])", name)
         m_small_bn = re.fullmatch(r"bn(\d+)-(\d+)([xyz])", name)

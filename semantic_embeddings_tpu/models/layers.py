@@ -68,10 +68,16 @@ def channel_pad(x, before, after):
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (int(before), int(after))))
 
 
-def avg_pool(x, window, stride=None, padding="VALID"):
+def avg_pool(x, window, stride=None, padding="VALID",
+             count_include_pad=True):
+    """``count_include_pad=False`` gives Keras/TF AveragePooling2D
+    semantics at SAME padding (border windows divide by the number of
+    VALID cells, not the window size) — matters for NASNet's in-cell
+    3x3/1 SAME average pools; all VALID uses are unaffected."""
     stride = stride or window
     return nn.avg_pool(
-        x, (window, window), strides=(stride, stride), padding=padding
+        x, (window, window), strides=(stride, stride), padding=padding,
+        count_include_pad=count_include_pad,
     )
 
 

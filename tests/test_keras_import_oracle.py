@@ -299,6 +299,21 @@ def test_importer_forward_parity_resnet152(ref_utils, tmp_path):
                atol=3e-4)
 
 
+@pytest.mark.slow
+def test_importer_forward_parity_nasnet_a(ref_utils, tmp_path):
+    """nasnet-a oracle through the reference's exact builder path
+    (keras.applications.NASNetLarge(include_top=False,
+    input_shape=(224,224,3), pooling='avg') + Dense('embedding'),
+    utils.py:266-272): randomize all ~770 weight layers, save h5, import
+    by the name map (SeparableConv2D depthwise-kernel transposes,
+    adjust-path disambiguation), and assert numerical forward parity —
+    which validates the full cell wiring (skip_reduction skips, concat
+    orders, VALID stem, factorized reduces) layer by layer.  Weight-count
+    parity alone cannot catch a transposed wiring; this does."""
+    _roundtrip(ref_utils, "nasnet-a", 100, tmp_path, input_hw=224,
+               atol=1e-3)
+
+
 def test_rn_family_import_not_covered(tmp_path):
     """rn18-rn200 h5 import refuses with a clear NOT-COVERED message
     (keras-resnet is not installable here, so its layer naming could not
