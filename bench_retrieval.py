@@ -17,13 +17,14 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def measure_protocol(n=10_000, d=100, full_ap=True, runs=2, block_size=2048):
+    """Measures one retrieval-eval protocol; returns ``(qps, mAHP@250)``.
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+    ``full_ap=True``: the CIFAR-test protocol (P@k + AHP@250 + classical
+    AP — needs the full ranking).  ``full_ap=False``: the ILSVRC-scale
+    mAHP@250 protocol (P@k + clipped AHP only), which takes the exact
+    chunked top-k path (``ops/topk.py``).
+    """
     from semantic_embeddings_tpu.evaluation.retrieval import (
         evaluate_retrieval_features,
     )
@@ -32,7 +33,6 @@ def main():
     h = ClassHierarchy.from_file(
         "/root/reference/Cifar-Hierarchy/cifar.parent-child.txt", id_type=int
     )
-    n, d = 10_000, 100
     rng = np.random.default_rng(0)
     labels = [i % 100 for i in range(n)]
     feats = rng.normal(size=(n, d)).astype(np.float32)
@@ -40,25 +40,37 @@ def main():
         feats[i, l] += 2.0
     feats /= np.linalg.norm(feats, axis=1, keepdims=True)
 
-    kwargs = dict(ks=[1, 10, 50, 100], compute_ahp=250, compute_ap=True,
-                  normalize=True, block_size=2048)
+    kwargs = dict(ks=[1, 10, 50, 100], compute_ahp=250, compute_ap=full_ap,
+                  normalize=True)
+    if block_size:
+        kwargs["block_size"] = block_size
     # Warm-up at the REAL shapes (a smaller warm-up database would compile a
     # different (B, N) GEMM/sort program and leave the compile inside the
-    # timed region), then best-of-2 timed runs.
+    # timed region), then best-of-N timed runs.
     evaluate_retrieval_features(feats, labels, h, **kwargs)
     elapsed = np.inf
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         means, _ = evaluate_retrieval_features(feats, labels, h, **kwargs)
         elapsed = min(elapsed, time.perf_counter() - t0)
+    return n / elapsed, means["AHP@250 (LCS_HEIGHT)"]
 
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    qps, mahp = measure_protocol()
     print(
         json.dumps(
             {
                 "metric": "retrieval_eval_queries_per_sec_cifar100_test_size",
-                "value": round(n / elapsed, 1),
+                "value": round(qps, 1),
                 "unit": "queries/sec",
-                "mAHP@250": round(means["AHP@250 (LCS_HEIGHT)"], 4),
+                "mAHP@250": round(mahp, 4),
             }
         )
     )

@@ -45,13 +45,15 @@ from ._keras_layer_orders import LAYER_ORDERS
 from .import_keras_weights import _fold_architecture, map_layers
 
 #: weight names per layer kind, in Keras order (kind chars: C/c = Conv2D
-#: with/without bias, B = BatchNormalization, D/d = Dense with/without bias)
+#: with/without bias, B = BatchNormalization, D/d = Dense with/without
+#: bias, S = bias-free SeparableConv2D — NASNet)
 _WEIGHT_NAMES = {
     "C": ("kernel:0", "bias:0"),
     "c": ("kernel:0",),
     "B": ("gamma:0", "beta:0", "moving_mean:0", "moving_variance:0"),
     "D": ("kernel:0", "bias:0"),
     "d": ("kernel:0",),
+    "S": ("depthwise_kernel:0", "pointwise_kernel:0"),
 }
 
 
@@ -157,7 +159,12 @@ def export_layers(variables, architecture, cls_classes=0):
         for idx in range(len(wnames)):
             key = (name, idx)
             if key in reverse:
-                arrays.append(leaf(*reverse[key]).astype(np.float32))
+                arr = leaf(*reverse[key]).astype(np.float32)
+                if kind == "S" and idx == 0:
+                    # flax grouped-conv kernel (k,k,1,Cin) -> keras
+                    # SeparableConv2D depthwise kernel (k,k,Cin,1)
+                    arr = np.transpose(arr, (0, 1, 3, 2))
+                arrays.append(arr)
             else:
                 # un-folded dead conv bias: zeros of the conv's output width
                 kernel = arrays[0]

@@ -221,9 +221,11 @@ def _map_nasnet_layer(name, weights, params, batch_stats, layers, bpath):
         else:
             dw, pw = weights[0], weights[1]
             # keras SeparableConv2D depthwise kernel (k,k,Cin,1) ->
-            # flax grouped-conv kernel (k,k,1,Cin)
-            _assign(params, cell + [f"dw{r}"], "kernel",
-                    np.transpose(dw, (0, 1, 3, 2)))
+            # flax grouped-conv kernel (k,k,1,Cin).  (ndim guard: the
+            # exporter's sentinel inversion feeds 1-D placeholders.)
+            if dw.ndim == 4:
+                dw = np.transpose(dw, (0, 1, 3, 2))
+            _assign(params, cell + [f"dw{r}"], "kernel", dw)
             _assign(params, cell + [f"pw{r}"], "kernel", pw)
         return True
     m = _NASNET_CELL_CONV.fullmatch(name)

@@ -119,6 +119,15 @@ def test_export_reference_load_forward_parity_resnet101(ref_utils, tmp_path):
                    atol=3e-4)
 
 
+def test_export_reference_load_forward_parity_nasnet_a(ref_utils, tmp_path):
+    """nasnet-a interop circle: import (SeparableConv2D depthwise-kernel
+    transpose) -> export -> fresh keras NASNetLarge positional
+    load_weights -> forward equality.  224px: the reference's builder
+    hardcodes the input size (utils.py:270)."""
+    _export_circle(ref_utils, "nasnet-a", 100, tmp_path, input_hw=224,
+                   atol=1e-3)
+
+
 def test_layer_order_tables_are_current(ref_utils):
     """The committed ``_keras_layer_orders.py`` matches the live
     ``model.layers`` order of the reference's builders (regenerate with

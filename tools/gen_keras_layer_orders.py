@@ -43,6 +43,7 @@ ARCHS = [
     "densenet-100-12",
     "densenet-100-24",
     "densenet-bc-190-40",
+    "nasnet-a",
 ]
 
 _RN50_CONV = re.compile(r"conv(\d)_block(\d+)_(\d)_conv")
@@ -69,6 +70,9 @@ def to_keras22_name(name):
 
 def layer_entry(layer):
     kind = type(layer).__name__
+    if kind == "SeparableConv2D":
+        assert not layer.use_bias, layer.name  # nasnet sepconvs: bias-free
+        return (layer.name, "S")
     if kind == "Conv2D":
         return (layer.name, "C" if layer.use_bias else "c")
     if kind == "BatchNormalization":
