@@ -71,14 +71,23 @@ def bench_arch(jax, arch, batch, size, steps, windows=2):
     for i in range(3):
         state, m = step(state, raws[i % len(raws)], 0.1, rng)
     jax.block_until_ready(m)
-    best = np.inf
-    for _ in range(windows):
+
+    def run_window(n):
+        nonlocal state
         t0 = time.perf_counter()
-        for i in range(steps):
+        for i in range(n):
             state, m = step(state, raws[i % len(raws)], 0.1, rng)
         jax.block_until_ready(m)
-        best = min(best, time.perf_counter() - t0)
-    return batch * steps / best, best / steps * 1e3
+        return time.perf_counter() - t0
+
+    # two-window regression (bench._measure_per_step): cancels the
+    # per-window host-sync RTT that under-reported short windows by up to
+    # ~7% (SPEED.md round 4)
+    import bench
+
+    ips, band = bench._measure_per_step(run_window, batch, steps, 3 * steps,
+                                        pairs=max(2, windows))
+    return ips, 1e3 * batch / ips
 
 
 def main():
