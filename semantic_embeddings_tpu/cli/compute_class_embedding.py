@@ -153,7 +153,14 @@ def main(argv=None):
         print(f"Average deviation from target distances: {err.mean()}")
 
     if args.norm:
-        embedding = embedding / np.linalg.norm(embedding, axis=-1, keepdims=True)
+        # Zero rows stay zero (a class can have exactly zero weight in the
+        # kept top-k eigenvectors of a low-dim approx_sim).  The reference's
+        # literal `embedding /= norm` (compute_class_embedding.py:241-242)
+        # would turn those into NaNs; its SHIPPED normed pickles instead
+        # keep them zero (nab.sim8.pickle has exact zero rows), so that is
+        # the behavior reproduced here.
+        norms = np.linalg.norm(embedding, axis=-1, keepdims=True)
+        embedding = embedding / np.where(norms == 0.0, 1.0, norms)
 
     save_embeddings(args.out, labels, embedding)
 

@@ -120,6 +120,12 @@ def build_parser():
     parser.add_argument("--class_list", type=str, default=None,
                         help="Text file of class names (first word per line) "
                              "seeding the numeric ids in order.")
+    parser.add_argument("--name_map", type=str, default=None,
+                        help="Text file of '<numeric id> <name...>' lines "
+                             "(names may contain spaces — the rest of the "
+                             "line) seeding the numeric ids; the dataset "
+                             "class-file format of CIFAR class_names.txt and "
+                             "CUB classes_*.txt.")
     parser.add_argument("--strip_annotations", action="store_true",
                         default=False,
                         help="Strip trailing '?' and parenthesized notes "
@@ -177,6 +183,19 @@ def main(argv=None):
             meta = pickle.load(f, encoding="bytes")
         raw = meta.get(b"fine_label_names", meta.get("fine_label_names"))
         seed = [n.decode() if isinstance(n, bytes) else n for n in raw]
+    elif args.name_map:
+        by_id = {}
+        with open(args.name_map) as f:
+            for line in f:
+                if line.strip():
+                    lbl, name = line.strip().split(maxsplit=1)
+                    by_id[int(lbl)] = name
+        lo = min(by_id)
+        if sorted(by_id) != list(range(lo, lo + len(by_id))):
+            raise ValueError(
+                "--name_map ids must be contiguous (they seed rows 0..n-1; "
+                "pair with --one_based when they start at 1)")
+        seed = [by_id[i] for i in sorted(by_id)]
     elif args.class_list:
         with open(args.class_list) as f:
             seed = [line.strip().split()[0] for line in f if line.strip()]

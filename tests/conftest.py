@@ -31,8 +31,13 @@ except Exception:  # pragma: no cover - older jax
     pass
 
 # Persistent compilation cache: model-init compiles one tiny XLA program per
-# unique parameter shape (~150ms each here); caching makes re-runs instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+# unique parameter shape (~150ms each here); caching makes re-runs much
+# faster (measured: 6:08 warm vs 16:46 cold for the default suite on this
+# 1-core host).  Lives under ~/.cache (not /tmp) so it survives reboots.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_test_compile_cache"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

