@@ -12,8 +12,9 @@ Parity notes:
   ``map_coordinates`` gather per image under ``vmap``.
 - Random erasing (Zhong et al.) matches ``datasets/common.py:530-540``: area
   and aspect ratio sampled in the same ranges, filled with uniform noise in
-  normalized space.  The rejection-sampling loop is replaced by clamping the
-  patch to the image (statistically near-identical, shape-static for XLA).
+  normalized space.  The reference's ``while True`` rejection loop becomes a
+  shape-static 12-candidate first-valid draw (same conditional law; see
+  ``random_erasing``).
 - Horizontal/vertical flips and mean/std normalization are exact.
 """
 
