@@ -47,8 +47,10 @@ def oracle(tmp_path_factory):
     """(reference NABGenerator, our NABDataset, image paths) over a tiny
     synthesized NAB-format dataset of coordinate-encoded PNGs."""
     _install_keras2_shims()
-    if REFERENCE_DIR not in sys.path:
-        sys.path.insert(0, REFERENCE_DIR)
+    # force-front: mid-session path churn must not shadow the reference
+    if REFERENCE_DIR in sys.path:
+        sys.path.remove(REFERENCE_DIR)
+    sys.path.insert(0, REFERENCE_DIR)
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference checkout not available")
     from PIL import Image

@@ -157,11 +157,13 @@ def _install_keras2_shims():
 @pytest.fixture(scope="module")
 def ref_utils():
     _install_keras2_shims()
-    for p in (REFERENCE_DIR,):
-        if p not in sys.path:
-            sys.path.insert(0, p)
+    # force-front: mid-session path churn must not shadow the reference
+    if REFERENCE_DIR in sys.path:
+        sys.path.remove(REFERENCE_DIR)
+    sys.path.insert(0, REFERENCE_DIR)
     import utils as ref_utils_mod
 
+    assert ref_utils_mod.__file__.startswith(REFERENCE_DIR)
     return ref_utils_mod
 
 

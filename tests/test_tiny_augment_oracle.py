@@ -52,8 +52,10 @@ def oracle(rng):
     _install_keras2_shims()
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference checkout not available")
-    if REFERENCE_DIR not in sys.path:
-        sys.path.insert(0, REFERENCE_DIR)
+    # force-front: mid-session path churn must not shadow the reference
+    if REFERENCE_DIR in sys.path:
+        sys.path.remove(REFERENCE_DIR)
+    sys.path.insert(0, REFERENCE_DIR)
     from datasets.common import TinyDatasetGenerator  # reference's own
 
     from semantic_embeddings_tpu.data.cifar import InMemoryDataset

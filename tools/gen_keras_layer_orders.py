@@ -22,8 +22,14 @@ import sys
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "tests"))
-sys.path.insert(0, REPO)
+# APPEND, do not insert at 0: this module is also imported mid-suite by
+# tests/test_keras_export_oracle.py, and prepending the repo root there
+# would shadow the reference checkout's top-level modules (learn_*.py)
+# for every later bare-name reference import (the repo root hosts
+# same-named entry-point shims).
+for _p in (os.path.join(REPO, "tests"), REPO):
+    if _p not in sys.path:
+        sys.path.append(_p)
 
 ARCHS = [
     "simple",
