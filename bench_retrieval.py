@@ -17,13 +17,20 @@ import time
 import numpy as np
 
 
-def measure_protocol(n=10_000, d=100, full_ap=True, runs=2, block_size=2048):
-    """Measures one retrieval-eval protocol; returns ``(qps, mAHP@250)``.
+def measure_protocol(n=10_000, d=100, full_ap=True, runs=5, block_size=2048):
+    """Measures one retrieval-eval protocol; returns
+    ``(qps_median, mAHP@250, band)``.
 
     ``full_ap=True``: the CIFAR-test protocol (P@k + AHP@250 + classical
     AP — needs the full ranking).  ``full_ap=False``: the ILSVRC-scale
     mAHP@250 protocol (P@k + clipped AHP only), which takes the exact
     chunked top-k path (``ops/topk.py``).
+
+    ``band`` carries ``{runs, qps_min, qps_max, spread_pct}`` over the
+    independent timed runs (after one untimed warm-up at the REAL shapes),
+    the same statistical treatment as bench.py's train rows (VERDICT r4
+    #5: the single best-of numbers swung ~8% between sessions with no
+    error bar in the artifact).
     """
     from semantic_embeddings_tpu.evaluation.retrieval import (
         evaluate_retrieval_features,
@@ -48,12 +55,20 @@ def measure_protocol(n=10_000, d=100, full_ap=True, runs=2, block_size=2048):
     # different (B, N) GEMM/sort program and leave the compile inside the
     # timed region), then best-of-N timed runs.
     evaluate_retrieval_features(feats, labels, h, **kwargs)
-    elapsed = np.inf
+    rates = []
     for _ in range(runs):
         t0 = time.perf_counter()
         means, _ = evaluate_retrieval_features(feats, labels, h, **kwargs)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    return n / elapsed, means["AHP@250 (LCS_HEIGHT)"]
+        rates.append(n / (time.perf_counter() - t0))
+    rates.sort()
+    median = rates[len(rates) // 2]
+    band = {
+        "runs": runs,
+        "qps_min": round(rates[0], 1),
+        "qps_max": round(rates[-1], 1),
+        "spread_pct": round(100.0 * (rates[-1] - rates[0]) / median, 2),
+    }
+    return median, means["AHP@250 (LCS_HEIGHT)"], band
 
 
 def main():
@@ -63,14 +78,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    qps, mahp = measure_protocol()
+    qps, mahp, band = measure_protocol()
     print(
         json.dumps(
             {
                 "metric": "retrieval_eval_queries_per_sec_cifar100_test_size",
                 "value": round(qps, 1),
-                "unit": "queries/sec",
+                "unit": "queries/sec (median of %d runs)" % band["runs"],
                 "mAHP@250": round(mahp, 4),
+                "band": band,
             }
         )
     )

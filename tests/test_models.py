@@ -51,6 +51,17 @@ def test_parameter_counts_match_published():
         "resnet-101": (224, 44.6e6, 0.8e6),
         "rn18": (224, 11.7e6, 0.4e6),
         "rn34": (224, 21.8e6, 0.5e6),
+        # The bottleneck tail of the keras-resnet family
+        # (/root/reference/utils.py:245-264): our builds land on the
+        # canonical published counts (25.557M / 44.549M / 60.193M; rn200 =
+        # rn152 + 16 stage-2 bottleneck blocks ≈ 64.67M).  Wiring-level
+        # oracle parity for rn* remains excluded-by-decision (PARITY.md
+        # §2.3: keras-resnet is not installable here), so these counts are
+        # the strongest executable pin on the family's block structure.
+        "rn50": (224, 25.56e6, 0.3e6),
+        "rn101": (224, 44.55e6, 0.5e6),
+        "rn152": (224, 60.19e6, 0.7e6),
+        "rn200": (224, 64.67e6, 0.7e6),
     }
     for arch, (size, expected, tol) in expectations.items():
         classes = 1000 if size == 224 else 100

@@ -115,3 +115,35 @@ def test_topk_fast_path_matches_full():
         for q in (0, 41, 89):
             assert fast_pq[name][q] == pytest.approx(
                 full_pq[name][q], abs=1e-6), (name, q)
+
+
+@pytest.mark.slow
+def test_chunked_topk_equals_full_sort_at_protocol_scale(reference_dir):
+    """VERDICT r4 #8: the chunked top-k prefix path (``ops/topk.py``, 2.1x
+    over the full variadic sort on TPU) is oracle-equal at small N; this
+    pins its exactness at the scale where it is actually USED — the
+    50k-item ILSVRC protocol (P@k + mAHP@250, no AP) — against the
+    full-sort path, every per-query value."""
+    path = os.path.join(
+        reference_dir, "Cifar-Hierarchy", "cifar.parent-child.txt")
+    h = ClassHierarchy.from_file(path, id_type=int)
+    n, d = 50_000, 16
+    rng = np.random.default_rng(3)
+    labels = (np.arange(n) % 100).tolist()
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    feats[np.arange(n), np.asarray(labels) % d] += 2.0
+
+    kwargs = dict(ks=(1, 10, 50, 100), compute_ahp=250, normalize=True)
+    fast, fast_pq = evaluate_retrieval_features(
+        feats, labels, h, compute_ap=False, **kwargs)
+    full, full_pq = evaluate_retrieval_features(
+        feats, labels, h, compute_ap=True, **kwargs)
+    assert set(fast) <= set(full)
+    for name in fast:
+        a = np.fromiter((fast_pq[name][q] for q in range(n)), np.float64, n)
+        b = np.fromiter((full_pq[name][q] for q in range(n)), np.float64, n)
+        # The chunked reduction produces the IDENTICAL ranking prefix incl.
+        # lax.top_k's tie order, and the metric arithmetic over the prefix
+        # is the same ops — exact equality, not approx.
+        np.testing.assert_array_equal(a, b, err_msg=name)
+        assert fast[name] == full[name], name

@@ -390,8 +390,22 @@ _LE_HEADS = {
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "lr,tail_rtol,weight_rtol",
+    [
+        # Recipe-scale lr: the argmax "most-confusing class" mask flips on
+        # host-dependent ReLU boundaries (see the tail-gate note below).
+        pytest.param(LR, 2e-3, 1e-2, id="lr0.05-recipe"),
+        # 10x smaller lr suppresses the boundary flips (same rationale as
+        # the devise lr0.005-strict variant): the full 12-step trajectory
+        # and the final weights gate strictly, so the learner family keeps
+        # a full-trajectory strict gate on one configuration (ADVICE r4).
+        pytest.param(LR / 10, 1e-6, 1e-6, id="lr0.005-strict"),
+    ],
+)
 def test_trajectory_labelembed(ref_utils, ref_learners, float64_keras,  # noqa: F811
-                               floatx_one_hot, tmp_path):
+                               floatx_one_hot, tmp_path, lr, tail_rtol,
+                               weight_rtol):
     """The reference's own ``labelembed_model`` + composite loss compiled
     with legacy SGD (momentum+decay+clipnorm), free-running train_on_batch;
     our ``make_labelembed_train_step`` must reproduce the loss trajectory
@@ -402,6 +416,7 @@ def test_trajectory_labelembed(ref_utils, ref_learners, float64_keras,  # noqa: 
     le = ref_learners["learn_labelembedding"]
     arch, embed_dim, n_classes, batch = "simple", 16, 10, 20
     tau, alpha, beta = 2.0, 0.9, 0.5
+    lr_q = float(np.float32(lr))  # f32 hyper-variable, like LR_Q
 
     base = ref_utils.build_network(embed_dim, arch)
     km = le.labelembed_model(base, n_classes, tau=tau, alpha=alpha, beta=beta)
@@ -416,7 +431,7 @@ def test_trajectory_labelembed(ref_utils, ref_learners, float64_keras,  # noqa: 
     K = tf_keras.backend
     km.compile(
         optimizer=tf_keras.optimizers.legacy.SGD(
-            learning_rate=LR, momentum=0.9, nesterov=False, decay=DECAY,
+            learning_rate=lr, momentum=0.9, nesterov=False, decay=DECAY,
             clipnorm=CLIPNORM),
         loss={
             "labelembed_loss": lambda y_true, y_pred: y_pred[:, 0],
@@ -465,19 +480,21 @@ def test_trajectory_labelembed(ref_utils, ref_learners, float64_keras,  # noqa: 
             momentum=MOMENTUM_Q, clipnorm=CLIPNORM,
             l2_penalty_fn=lambda p: spec.l2_penalty(p["backbone"]),
         )
-        lrs = [effective_lr(LR_Q, DECAY, t) for t in range(STEPS)]
+        lrs = [effective_lr(lr_q, DECAY, t) for t in range(STEPS)]
         state, our_losses = _run_ours(state, step, xs, ys, lrs)
 
     # The labelembed composite loss carries an argmax mask (the Sun et al.
-    # "most-confusing class" term): a confusing-class flip at step 5 on
-    # the current host moves the loss to 4e-5 and the tail to 3.6e-4 (the
-    # r3 host ran all 12 steps at 1e-6; see _assert_losses docstring).
+    # "most-confusing class" term): at recipe lr a confusing-class flip at
+    # step 5 on the current host moves the loss to 4e-5 and the tail to
+    # 3.6e-4 (the r3 host ran all 12 steps at 1e-6; see _assert_losses
+    # docstring).  The lr/10 variant gates the whole trajectory strictly.
     worst = _assert_losses(arch, ref_losses, our_losses, [("loss", "loss")],
-                           rtol=2e-3)
+                           rtol=tail_rtol)
     _final_state_check(
         km, arch, state, state0,
         (str(tmp_path / "final.h5"), list(_LE_HEADS)), _LE_HEADS,
-        f"labelembed/{arch} (worst loss rel-err {worst:.2e})", rtol=1e-2)
+        f"labelembed/{arch}@lr{lr} (worst loss rel-err {worst:.2e})",
+        rtol=weight_rtol)
 
 
 # ---------------------------------------------------------------------------
@@ -492,16 +509,28 @@ _CL_HEADS = {
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("frozen", [False, True],
-                         ids=["learnable", "frozen"])
+@pytest.mark.parametrize(
+    "frozen,lr,strict",
+    [
+        pytest.param(False, LR, False, id="learnable"),
+        pytest.param(True, LR, True, id="frozen"),
+        # Learnable centroids at lr/10: the centroid-chasing boundary flips
+        # are suppressed, so the learnable mode too retains a full-trajectory
+        # strict (1e-6) gate on one configuration (ADVICE r4; mirrors the
+        # devise lr0.005-strict variant).
+        pytest.param(False, LR / 10, True, id="learnable-lr0.005-strict"),
+    ],
+)
 def test_trajectory_center_loss(ref_utils, ref_learners, float64_keras,  # noqa: F811
-                                tmp_path, frozen):
+                                tmp_path, frozen, lr, strict):
     """The reference's own ``center_loss_model`` (softmax CE + weighted
     half-squared centroid distance) under legacy SGD; ``frozen`` covers the
     semantic-centroid mode where the Keras Embedding is ``trainable=False``
     and our step masks its gradient (``learn_center_loss.py:17-41,
     160-165``)."""
     import jax
+
+    lr_q = float(np.float32(lr))  # f32 hyper-variable, like LR_Q
 
     cl = ref_learners["learn_center_loss"]
     arch, embed_dim, n_classes, batch = "simple", 16, 10, 20
@@ -524,7 +553,7 @@ def test_trajectory_center_loss(ref_utils, ref_learners, float64_keras,  # noqa:
 
     km.compile(
         optimizer=tf_keras.optimizers.legacy.SGD(
-            learning_rate=LR, momentum=0.9, nesterov=False, decay=DECAY,
+            learning_rate=lr, momentum=0.9, nesterov=False, decay=DECAY,
             clipnorm=CLIPNORM),
         loss={"prob": "categorical_crossentropy",
               "center_loss": lambda y_true, y_pred: y_pred},
@@ -574,18 +603,19 @@ def test_trajectory_center_loss(ref_utils, ref_learners, float64_keras,  # noqa:
                 (lambda p: "cls_centroids" not in p) if frozen else None),
             l2_penalty_fn=lambda p: spec.l2_penalty(p["backbone"]),
         )
-        lrs = [effective_lr(LR_Q, DECAY, t) for t in range(STEPS)]
+        lrs = [effective_lr(lr_q, DECAY, t) for t in range(STEPS)]
         state, our_losses = _run_ours(state, step, xs, ys, lrs)
 
     # Learnable centroids chase the (ReLU-kinked) embeddings, which doubles
-    # the boundary-flip surface vs the frozen mode: on the current host a
-    # flip lands 5.4e-6 on the center term by step 2 (frozen mode and the
-    # r3 host gate strictly; see _assert_losses docstring).
+    # the boundary-flip surface vs the frozen mode: at recipe lr on the
+    # current host a flip lands 5.4e-6 on the center term by step 2 (frozen
+    # mode and the r3 host gate strictly; see _assert_losses docstring).
+    # The learnable lr/10 variant gates the whole trajectory strictly.
     worst = _assert_losses(
         arch, ref_losses, our_losses,
         [("loss", "loss"), ("prob_loss", "ce"),
          ("center_loss_loss", "center_loss")],
-        **({} if frozen else {"rtol": 1e-3, "strict_rtol": 5e-5}))
+        **({} if strict else {"rtol": 1e-3, "strict_rtol": 5e-5}))
     if frozen:
         np.testing.assert_array_equal(
             np.asarray(state.params["cls_centroids"], np.float64), fixed,
@@ -593,8 +623,9 @@ def test_trajectory_center_loss(ref_utils, ref_learners, float64_keras,  # noqa:
     _final_state_check(
         km, arch, state, state0,
         (str(tmp_path / "final.h5"), list(_CL_HEADS)), _CL_HEADS,
-        f"center[frozen={frozen}]/{arch} (worst loss rel-err {worst:.2e})",
-        **({} if frozen else {"rtol": 5e-3}))
+        f"center[frozen={frozen}]@lr{lr}/{arch} "
+        f"(worst loss rel-err {worst:.2e})",
+        **({} if strict else {"rtol": 5e-3}))
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,14 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# APPEND, don't insert(0): the repo root hosts entry shims whose names
+# collide with the reference's top-level modules (learn_*.py, ...); fronting
+# it would shadow later bare-name oracle imports of the reference in the
+# same process (tests import this module mid-suite).  Mirrors the identical
+# fix in gen_keras_layer_orders.py.
+_repo_root = os.path.join(os.path.dirname(__file__), "..")
+if _repo_root not in sys.path:
+    sys.path.append(_repo_root)
 
 from semantic_embeddings_tpu.cli import compute_class_embedding as cce
 from semantic_embeddings_tpu.cli import encode_hierarchy as enc
@@ -295,7 +302,11 @@ def build_nab(ref, out, manifest, device=False):
     manifest.add(ci, "derived", source=pkl, **v)
 
     for dim in (None, 8, 16, 32, 64, 128, 256):
-        for norm in ((True, False) if dim else (False,)):
+        # unnormed twin FIRST: its target-error bound is the real assertion,
+        # and the normed pickle is then verified as exactly its row
+        # normalization (see _verify_approx).
+        unnormed_pkl = None
+        for norm in ((False, True) if dim else (False,)):
             stem = f"nab.sim{dim}" if dim else "nab.sim"
             if dim and not norm:
                 stem += "_unnormed"
@@ -303,16 +314,30 @@ def build_nab(ref, out, manifest, device=False):
             _compute_embedding(edges, pkl, method="approx_sim", num_dim=dim,
                                norm=norm, is_a=True, device=device)
             ref_pkl = os.path.join(ref, "embeddings", f"{stem}.pickle")
-            v = _verify_approx(pkl, ref_pkl, edges, norm)
+            v = _verify_approx(pkl, ref_pkl, edges, norm,
+                               unnormed_path=unnormed_pkl)
             manifest.add(pkl, "derived", source=edges, **v)
+            if dim and not norm:
+                unnormed_pkl = pkl
 
 
-def _verify_approx(out_path, ref_path, edges_path, normed):
+def _verify_approx(out_path, ref_path, edges_path, normed,
+                   unnormed_path=None):
     """approx_sim pickles: eigenvector bases are LAPACK-build-dependent in
     degenerate subspaces, so the invariant check is the achieved
     approximation error against the TARGET similarity matrix — ours must be
-    ≤ the reference pickle's (plus float slack).  For unnormed pickles the
-    Gram matrices must also agree."""
+    ≤ the reference pickle's (plus float slack).
+
+    Normed pickles: the asserted invariant is internal consistency — the
+    normed embedding must be EXACTLY the row normalization of our own
+    unnormed solve (the reference's shipped normed/unnormed pairs satisfy
+    this to 0.0), whose target-error bound was already asserted.  The Gram
+    delta vs the reference's normed pickle is REPORT-ONLY: the truncated
+    eigen-subspace is LAPACK-build-dependent (ours differs from the
+    reference's and fits the target BETTER pre-norm), and row
+    normalization does not preserve the error ordering (measured: at
+    sim8 our normed error is 1.75 vs the reference's 1.00 although our
+    pre-norm error is smaller), so no cross-build Gram bound exists."""
     ours = _load_pickle(out_path)
     ref = _load_pickle(ref_path)
     assert ours["ind2label"] == list(ref["ind2label"])
@@ -323,12 +348,25 @@ def _verify_approx(out_path, ref_path, edges_path, normed):
     e_ref = np.asarray(ref["embedding"], np.float64)
     assert e_ours.shape == e_ref.shape
     if normed:
-        # the reference normalizes AFTER solving; compare pre-norm quality
-        # via the shipped unnormed twin when present, else Gram vs ref.
         gram = float(np.abs(e_ours @ e_ours.T - e_ref @ e_ref.T).max())
-        return {"status": f"normed approx_sim (max Gram delta vs reference "
-                          f"{gram:.2e})", "against": ref_path,
-                "max_gram_delta": gram}
+        result = {"status": "normed approx_sim (report-only Gram delta vs "
+                            f"reference {gram:.2e}; see docstring)",
+                  "against": ref_path, "max_gram_delta": gram,
+                  "gram_delta_report_only": True}
+        if unnormed_path is not None:
+            # THE assertion: normed == row-normalize(our unnormed solve).
+            e_un = np.asarray(_load_pickle(unnormed_path)["embedding"],
+                              np.float64)
+            expect = e_un / np.linalg.norm(e_un, axis=1, keepdims=True)
+            norm_dev = float(np.abs(e_ours - expect).max())
+            assert norm_dev < 1e-12, (out_path, norm_dev)
+            result["normalization_consistency_dev"] = norm_dev
+            result["status"] = (
+                f"normed approx_sim == row-normalize(unnormed solve) to "
+                f"{norm_dev:.1e} (asserted); Gram delta vs reference "
+                f"{gram:.2e} is report-only (build-dependent eigen "
+                f"truncation; see docstring)")
+        return result
     err_ours = float(np.abs(e_ours @ e_ours.T - target).max())
     err_ref = float(np.abs(e_ref @ e_ref.T - target).max())
     assert err_ours <= err_ref + 1e-9, (out_path, err_ours, err_ref)
