@@ -29,6 +29,8 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 
 def build_parser():
     parser = argparse.ArgumentParser(
@@ -97,6 +99,13 @@ def build_parser():
     prep.add_argument("--target_size", type=int, default=None,
                       help="Shorter-side resize target for JPEG requests "
                            "before the center crop (default: crop size).")
+    prep.add_argument("--device_preproc", action="store_true", default=False,
+                      help="Transfer uint8 pixels and run mean/std "
+                           "normalization on device (fused into the jitted "
+                           "forward): 4x less host->device bandwidth per "
+                           "image and no per-image host float math. "
+                           "Requests must carry raw pixel values (JPEG or "
+                           "un-normalized arrays).")
     return parser
 
 
@@ -208,13 +217,33 @@ def make_server(args):
     mesh = common.resolve_mesh(getattr(args, "gpus", 1))
     if mesh is not None:
         meta["devices"] = int(mesh.devices.size)
+    device_preproc = bool(getattr(args, "device_preproc", False))
+    engine_dtype = np.float32
+    if device_preproc:
+        # uint8 on the wire; cast + mean/std fold into the jitted forward
+        # (XLA fuses them with the stem conv's input read).
+        import jax
+        import jax.numpy as jnp
+
+        mean_dev = jnp.asarray(mean if mean is not None else 0.0, jnp.float32)
+        std_dev = jnp.asarray(std if std is not None else 1.0, jnp.float32)
+        base_fn = fn
+
+        def normalized_fn(u8):
+            return base_fn(
+                (u8.astype(jnp.float32) - mean_dev) / std_dev)
+
+        fn = jax.jit(normalized_fn)
+        engine_dtype = np.uint8
+        meta["device_preproc"] = True
     preproc = Preprocessor(
         meta["input_size"], args.input_channels, mean=mean, std=std,
-        target_size=args.target_size, n_threads=args.decode_threads)
+        target_size=args.target_size, n_threads=args.decode_threads,
+        device_norm=device_preproc)
     engine = BatchingEngine(
         fn, (meta["input_size"], meta["input_size"], args.input_channels),
         max_batch=args.max_batch, timeout_ms=args.batch_timeout_ms,
-        mesh=mesh, max_queue=args.max_queue)
+        mesh=mesh, max_queue=args.max_queue, dtype=engine_dtype)
     return ServingServer(engine, preproc, meta, host=args.host,
                          port=args.port,
                          request_timeout=args.request_timeout_s)

@@ -96,16 +96,19 @@ class ServingClient:
     def stats(self):
         return self._get_json("/v1/stats")
 
-    def predict(self, images, normalized=False):
+    def predict(self, images, normalized=False, wire_dtype=np.float32):
         """``images``: (n, H, W, C) or (H, W, C) float array.  Uses the
         binary npy round trip; ``normalized=True`` skips the server's
         mean/std normalization (npy requests are always raw pixels —
-        pre-normalized arrays should go through ``predict_json``)."""
+        pre-normalized arrays should go through ``predict_json``).
+        ``wire_dtype=np.uint8`` sends raw pixels at 1/4 the bytes —
+        lossless for integer pixel values and the natural pairing with a
+        ``--device_preproc`` server."""
         if normalized:
             return np.asarray(self.predict_json(images, normalized=True),
                               dtype=np.float32)
         buf = io.BytesIO()
-        np.save(buf, np.asarray(images, dtype=np.float32),
+        np.save(buf, np.asarray(images, dtype=wire_dtype),
                 allow_pickle=False)
         ctype, body = self._request(
             "/v1/predict", buf.getvalue(), "application/x-npy",

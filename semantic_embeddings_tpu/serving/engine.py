@@ -92,13 +92,18 @@ def default_buckets(max_batch, multiple=1):
 class BatchingEngine:
     """Coalesces concurrent inference requests into bucketed device calls.
 
-    ``fn``: callable mapping a float32 ``(B, *input_tail)`` array to a
+    ``fn``: callable mapping a ``dtype`` ``(B, *input_tail)`` array to a
     pytree of arrays with leading batch dimension ``B``.  It is called
     only with ``B in buckets``.
+
+    ``dtype`` (default float32): the wire/buffer dtype handed to ``fn``.
+    With device-side preprocessing (``serve_model --device_preproc``) this
+    is uint8 — 4x less host->device transfer per image, the dominant
+    serving cost at 224 px on a remote-dispatch backend.
     """
 
     def __init__(self, fn, input_tail, max_batch=256, timeout_ms=2.0,
-                 buckets=None, mesh=None, max_queue=None):
+                 buckets=None, mesh=None, max_queue=None, dtype=np.float32):
         """``mesh``: a ``jax.sharding.Mesh`` — each device call's batch is
         sharded across the mesh (data axis; height additionally on the
         spatial axis if present), so one HTTP frontend drives every chip
@@ -110,6 +115,7 @@ class BatchingEngine:
         """
         self._fn = fn
         self.input_tail = tuple(input_tail)
+        self.dtype = np.dtype(dtype)
         self.max_batch = int(max_batch)
         self.timeout_s = float(timeout_ms) / 1e3
         self.mesh = mesh
@@ -179,9 +185,10 @@ class BatchingEngine:
     # -- request API -------------------------------------------------------
 
     def submit(self, x):
-        """Enqueue a ``(n, *input_tail)`` float32 array; returns a Future
-        resolving to the pytree of per-request outputs (leading dim n)."""
-        x = np.asarray(x, dtype=np.float32)
+        """Enqueue a ``(n, *input_tail)`` array (cast to the engine dtype);
+        returns a Future resolving to the pytree of per-request outputs
+        (leading dim n)."""
+        x = np.asarray(x, dtype=self.dtype)
         if x.shape[1:] != self.input_tail:
             raise ValueError(
                 f"bad input shape {x.shape}; expected (n, "
@@ -212,7 +219,7 @@ class BatchingEngine:
         thread — call before serving traffic.  Returns per-bucket seconds."""
         timings = {}
         for b in (sorted(buckets) if buckets else self.buckets):
-            x = np.zeros((b,) + self.input_tail, dtype=np.float32)
+            x = np.zeros((b,) + self.input_tail, dtype=self.dtype)
             if self._sharding is not None:
                 x = jax.device_put(x, self._sharding)
             t0 = time.perf_counter()
@@ -268,7 +275,7 @@ class BatchingEngine:
 
     def _run_pack(self, pack, total):
         bucket = self._bucket_for(total)
-        batch = np.zeros((bucket,) + self.input_tail, dtype=np.float32)
+        batch = np.zeros((bucket,) + self.input_tail, dtype=self.dtype)
         off = 0
         for item in pack:
             n = item.array.shape[0]

@@ -44,10 +44,17 @@ class PreprocessError(ValueError):
 
 
 class Preprocessor:
-    """Host-side request preprocessing: JPEG decode + normalize."""
+    """Host-side request preprocessing: JPEG decode (+ normalize).
+
+    ``device_norm``: mean/std normalization happens ON DEVICE (baked into
+    the engine's fn by ``serve_model --device_preproc``); this side then
+    emits raw uint8 pixels — 4x less host->device transfer and no
+    per-image host float math.  Pre-normalized array requests are
+    rejected in this mode (the device would normalize them again).
+    """
 
     def __init__(self, input_size, input_channels=3, mean=None, std=None,
-                 target_size=None, n_threads=4):
+                 target_size=None, n_threads=4, device_norm=False):
         self.input_size = int(input_size)
         self.input_channels = int(input_channels)
         self.mean = None if mean is None else np.asarray(mean, np.float32)
@@ -56,6 +63,7 @@ class Preprocessor:
         # the crop size itself, the reference's test-time convention)
         self.target_size = int(target_size or input_size)
         self.n_threads = n_threads
+        self.device_norm = bool(device_norm)
 
     def normalize(self, x):
         x = np.asarray(x, np.float32)
@@ -89,9 +97,29 @@ class Preprocessor:
             y0 = max(0, (img.shape[0] - self.input_size) // 2)
             x0 = max(0, (img.shape[1] - self.input_size) // 2)
             img = img[y0:y0 + self.input_size, x0:x0 + self.input_size]
+        if self.device_norm:
+            return img[None]  # uint8; device fn normalizes
         return self.normalize(img[None].astype(np.float32))
 
     def from_array(self, arr, normalized=False):
+        if self.device_norm:
+            if normalized:
+                raise PreprocessError(
+                    "this server normalizes on device (--device_preproc); "
+                    "send raw pixel values, not pre-normalized arrays")
+            arr = np.asarray(arr)
+            if arr.ndim == 3:
+                arr = arr[None]
+            want = (self.input_size, self.input_size, self.input_channels)
+            if arr.ndim != 4 or arr.shape[1:] != want:
+                raise PreprocessError(
+                    f"bad input shape {arr.shape}; expected (n,) + {want}")
+            if arr.dtype != np.uint8:
+                # pixel-valued floats round-trip exactly; anything outside
+                # [0, 255] was not raw pixels
+                arr = np.clip(np.rint(arr.astype(np.float32)), 0, 255)
+                arr = arr.astype(np.uint8)
+            return arr
         arr = np.asarray(arr, dtype=np.float32)
         if arr.ndim == 3:  # single image HWC
             arr = arr[None]

@@ -268,6 +268,71 @@ def test_serve_cli_mesh_end_to_end(tmp_path):
         srv.stop()
 
 
+def test_serve_cli_device_preproc_matches_host_norm(tmp_path):
+    """--device_preproc (uint8 on the wire, mean/std fused into the jitted
+    forward) must produce the SAME predictions as the host-normalize server
+    for identical raw-pixel inputs, for both npy and JPEG bodies; and it
+    must reject pre-normalized requests instead of double-normalizing."""
+    import io
+
+    from PIL import Image
+
+    from semantic_embeddings_tpu.cli import common
+    from semantic_embeddings_tpu.cli.serve_model import build_parser, \
+        make_server
+    from semantic_embeddings_tpu.train.state import save_checkpoint
+
+    model, spec = common.build_embedding_model(16, "simple", "inv_corr", 0)
+    state = common.init_model_state(model, 8, 3)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, {
+        "architecture": "simple", "embed_dim": 16, "loss": "inv_corr",
+        "cls_classes": 0,
+    })
+    base = ["--checkpoint", ckpt, "--layer", "l2norm", "--input_size", "8",
+            "--port", "0", "--max_batch", "8",
+            "--mean", "120.5,118.2,105.0", "--std", "60.0,59.5,61.2"]
+    rng = np.random.default_rng(11)
+    pixels = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(pixels[0]).save(buf, "JPEG", quality=95)
+    jpeg_blob = buf.getvalue()
+
+    def npy_body(arr):
+        b = io.BytesIO()
+        np.save(b, arr, allow_pickle=False)
+        return b.getvalue()
+
+    results = {}
+    for tag, extra in (("host", []), ("device", ["--device_preproc"])):
+        srv = make_server(build_parser().parse_args(base + extra))
+        srv.start()
+        try:
+            assert srv.engine.dtype == (
+                np.uint8 if tag == "device" else np.float32)
+            code, _, body = _post(srv, npy_body(pixels), "application/x-npy",
+                                  accept="application/x-npy")
+            assert code == 200, body
+            code2, _, body2 = _post(srv, jpeg_blob, "image/jpeg")
+            assert code2 == 200, body2
+            results[tag] = (
+                np.load(io.BytesIO(body), allow_pickle=False),
+                np.asarray(json.loads(body2)["predictions"], np.float32))
+            if tag == "device":
+                code3, _, body3 = _post(srv, json.dumps(
+                    {"instances": pixels.tolist(), "normalized": True}
+                ).encode(), "application/json")
+                assert code3 == 400 and b"device" in body3
+        finally:
+            srv.stop()
+    # uint8-wire predictions == host-normalized predictions (both paths
+    # compute (x - mean)/std in f32; the device does it inside the jit)
+    np.testing.assert_allclose(results["device"][0], results["host"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["device"][1], results["host"][1],
+                               rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # preprocessor
 

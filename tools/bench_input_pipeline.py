@@ -47,6 +47,7 @@ BATCH = 128
 # NAB photos are ~1024x768; 800x600 keeps fixture build time sane on this
 # 1-core host while staying in the same DCT-prescale regime (the decoder
 # scales 800->250ish with libjpeg 1/4..1/2 DCT, same as 1024->256).
+# Overridable (--src WxH) to quote the decode rate at other source sizes.
 SRC_SIZE = (800, 600)
 JPEG_QUALITY = 90
 
@@ -201,12 +202,18 @@ def measure(quick=True, device=True, device_ips_certified=2759.0):
 
 
 def main():
+    global SRC_SIZE
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="larger fixture + more epochs")
     ap.add_argument("--no-device", action="store_true",
                     help="decode-path measurements only (no TPU step)")
+    ap.add_argument("--src", default=None, metavar="WxH",
+                    help="source JPEG size, e.g. 1024x768 (default 800x600)")
     args = ap.parse_args()
+    if args.src:
+        SRC_SIZE = tuple(int(v) for v in args.src.lower().split("x"))
 
     import jax
 

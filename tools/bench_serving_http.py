@@ -51,6 +51,14 @@ def main():
                          "concurrency level, sampling the process RSS and "
                          "open-fd count every 2 s — the leak watch for the "
                          "serving certificate.")
+    ap.add_argument("--device_preproc", action="store_true",
+                    help="Serve with uint8-wire device-side normalization "
+                         "(npy bodies are sent as uint8 raw pixels).")
+    ap.add_argument("--mean", default="0,0,0",
+                    help="Server channel mean (identity by default, matching "
+                         "the r3 certificates; pass recipe stats for the "
+                         "realistic normalize-on-serve condition).")
+    ap.add_argument("--std", default="1,1,1")
     ap.add_argument("--cpu", action="store_true",
                     help="Force the CPU backend (smoke runs).")
     args = ap.parse_args()
@@ -69,7 +77,9 @@ def main():
 
     srv_args = ["--port", "0", "--max_batch", str(args.max_batch),
                 "--batch_timeout_ms", str(args.batch_timeout_ms),
-                "--mean", "0,0,0", "--std", "1,1,1"]
+                "--mean", args.mean, "--std", args.std]
+    if args.device_preproc:
+        srv_args.append("--device_preproc")
     if args.artifact:
         srv_args += ["--artifact", args.artifact]
     else:
@@ -82,7 +92,9 @@ def main():
     server.start()
     size = server.engine.input_tail[0]
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(args.req_batch, size, size, 3)).astype(np.float32)
+    x = rng.integers(
+        0, 256, size=(args.req_batch, size, size, 3)).astype(
+            np.uint8 if args.device_preproc else np.float32)
     jpeg_blob = None
     if args.body == "jpeg":
         if args.req_batch != 1:
@@ -102,6 +114,8 @@ def main():
             c.predict_jpeg(jpeg_blob)
         elif args.body == "json":
             c.predict_json(x)
+        elif args.device_preproc:
+            c.predict(x, wire_dtype=np.uint8)  # 1/4 the request bytes
         else:
             c.predict(x)
 
