@@ -34,9 +34,37 @@ except Exception:  # pragma: no cover - older jax
 # unique parameter shape (~150ms each here); caching makes re-runs much
 # faster (measured: 6:08 warm vs 16:46 cold for the default suite on this
 # 1-core host).  Lives under ~/.cache (not /tmp) so it survives reboots.
+#
+# Keyed by a CPU-feature fingerprint: these rounds run on hosts whose CPU
+# capabilities differ, and XLA:CPU happily LOADS cached AOT executables
+# compiled for a different machine type ("Target machine feature ... is
+# not supported on the host machine ... could lead to execution errors
+# such as SIGILL" warnings) — different vectorization means different
+# float summation order, which shifts f64 rounding and destabilizes the
+# chaos-sensitive trajectory oracles between sessions.  A per-CPU cache
+# directory makes every session execute code compiled FOR its own host.
+
+
+def _cpu_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/jax_test_compile_cache"),
+    os.path.expanduser(f"~/.cache/jax_test_compile_cache_{_cpu_fingerprint()}"),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
