@@ -23,7 +23,7 @@ python compute_class_embedding.py \
   --hierarchy /root/reference/Cifar-Hierarchy/cifar.parent-child.txt \
   --out "$OUT/capstone_embedding.pickle" | tee "$OUT/composite_cli_embed.txt"
 
-/usr/bin/time -v python learn_image_embeddings.py \
+python learn_image_embeddings.py \
   --dataset nab --data_root "$FIXTURE" \
   --embedding "$OUT/capstone_embedding.pickle" \
   --architecture resnet-50 --batch_size 128 --loss inv_corr \

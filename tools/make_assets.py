@@ -354,10 +354,14 @@ def _verify_approx(out_path, ref_path, edges_path, normed,
                   "against": ref_path, "max_gram_delta": gram,
                   "gram_delta_report_only": True}
         if unnormed_path is not None:
-            # THE assertion: normed == row-normalize(our unnormed solve).
+            # THE assertion: normed == row-normalize(our unnormed solve),
+            # with the CLI's zero-row guard (low-dim truncations leave
+            # whole rows at exactly 0 — both the reference's shipped sim8
+            # pair and ours; cli/compute_class_embedding.py:162-163).
             e_un = np.asarray(_load_pickle(unnormed_path)["embedding"],
                               np.float64)
-            expect = e_un / np.linalg.norm(e_un, axis=1, keepdims=True)
+            norms = np.linalg.norm(e_un, axis=1, keepdims=True)
+            expect = e_un / np.where(norms == 0.0, 1.0, norms)
             norm_dev = float(np.abs(e_ours - expect).max())
             assert norm_dev < 1e-12, (out_path, norm_dev)
             result["normalization_consistency_dev"] = norm_dev
